@@ -1,0 +1,150 @@
+"""Steady-state solving: one jitted function per model.
+
+Replaces the reference's scipy waterfall (``gEconpy/model/model.py:919``
+steady_state: linear closed form -> analytic f_ss -> numeric root/minimize)
+with a fully on-device pipeline: the analytic subset is evaluated directly,
+the remaining unknowns (plus calibrated parameters) are solved by a jitted
+damped-Newton/LM iteration in an unconstrained space (log/neg-log bijectors
+from GCN assumptions).  The returned solver is ``vmap``-able over parameter
+draws; failures surface as flags.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codegen.model_functions import ModelFunctions
+from ..ops.newton import RootResult, levenberg_marquardt_solve, newton_solve
+
+__all__ = ["SteadyStateSolution", "make_steady_state_solver"]
+
+
+class SteadyStateSolution(NamedTuple):
+    """Device-side steady-state result."""
+
+    x_ss: jax.Array          # (n_variables,) steady-state values
+    theta_full: jax.Array    # (P,) free ++ deterministic ++ calibrated
+    success: jax.Array       # bool
+    resid_norm: jax.Array    # inf-norm over ALL model equations
+    n_iter: jax.Array
+
+
+def make_steady_state_solver(
+    mf: ModelFunctions,
+    method: str = "hybrid",
+    tol: float = 1e-8,
+    maxiter: int = 500,
+    default_guess: float = 0.8,
+) -> Callable[..., SteadyStateSolution]:
+    """Build ``solve(theta_free, x0=None) -> SteadyStateSolution``.
+
+    ``x0`` optionally overrides the initial guess for the unknown block, in
+    the *constrained* space, shape ``(n_unknown + n_calibrated,)``.
+    """
+    n = mf.n_variables
+    n_unknown_vars = len(mf.unknown_idx)
+    n_calib = len(mf.calibrated_params)
+    n_u = n_unknown_vars + n_calib
+
+    known_idx = jnp.asarray(mf.known_idx, dtype=jnp.int32)
+    unknown_idx = jnp.asarray(mf.unknown_idx, dtype=jnp.int32)
+    eq_unknown_idx = jnp.asarray(mf.eq_unknown_idx, dtype=jnp.int32)
+
+    if len(mf.eq_unknown_idx) != n_unknown_vars:
+        raise ValueError(
+            f"steady-state system is not square after substituting the analytic "
+            f"solution: {len(mf.eq_unknown_idx)} equations contain unknowns but "
+            f"{n_unknown_vars} variables are unsolved. Check the STEADY_STATE block."
+        )
+
+    def assemble_theta(theta_fd: jax.Array, calib_vals: jax.Array) -> jax.Array:
+        if n_calib:
+            return jnp.concatenate([theta_fd, calib_vals])
+        return theta_fd
+
+    def assemble_x(theta_full: jax.Array, unknown_vals: jax.Array) -> jax.Array:
+        x = jnp.zeros(n, dtype=theta_full.dtype)
+        if len(mf.known_idx):
+            x = x.at[known_idx].set(mf.f_ss_known(theta_full))
+        if n_unknown_vars:
+            x = x.at[unknown_idx].set(unknown_vals)
+        return x
+
+    def full_residual_norm(x: jax.Array, theta_full: jax.Array) -> jax.Array:
+        r = mf.f_ss_resid(x, theta_full)
+        if mf.f_calib_resid is not None:
+            r = jnp.concatenate([r, mf.f_calib_resid(x, theta_full)])
+        return jnp.max(jnp.abs(r))
+
+    # ---------- fully analytic fast path -------------------------------------
+    if n_u == 0:
+        def solve_analytic(theta_free: jax.Array, x0=None) -> SteadyStateSolution:
+            theta_full = mf.f_params(theta_free)
+            x = assemble_x(theta_full, jnp.zeros((0,), theta_full.dtype))
+            norm = full_residual_norm(x, theta_full)
+            success = jnp.isfinite(norm) & (norm < jnp.asarray(
+                max(tol, 1e-6), theta_full.dtype))
+            return SteadyStateSolution(x, theta_full, success, norm,
+                                       jnp.asarray(0))
+
+        return solve_analytic
+
+    # ---------- numeric path ---------------------------------------------------
+    bijector = mf.bijector
+
+    def unknown_residual(u: jax.Array, theta_fd: jax.Array) -> jax.Array:
+        vals = bijector.forward(u)
+        unknown_vals = vals[:n_unknown_vars]
+        calib_vals = vals[n_unknown_vars:]
+        theta_full = assemble_theta(theta_fd, calib_vals)
+        x = assemble_x(theta_full, unknown_vals)
+        r = mf.f_ss_resid(x, theta_full)[eq_unknown_idx]
+        if mf.f_calib_resid is not None:
+            r = jnp.concatenate([r, mf.f_calib_resid(x, theta_full)])
+        return r
+
+    def solve_numeric(theta_free: jax.Array, x0: jax.Array | None = None
+                      ) -> SteadyStateSolution:
+        theta_fd = mf.f_params(theta_free)
+        dtype = theta_fd.dtype
+        if x0 is None:
+            x0_c = jnp.full((n_u,), default_guess, dtype=dtype)
+        else:
+            x0_c = jnp.asarray(x0, dtype=dtype)
+        u0 = bijector.inverse(x0_c)
+
+        if method == "newton":
+            res = newton_solve(unknown_residual, u0, (theta_fd,), tol=tol,
+                               maxiter=maxiter)
+        elif method == "lm":
+            res = levenberg_marquardt_solve(unknown_residual, u0, (theta_fd,),
+                                            tol=tol, maxiter=maxiter)
+        else:  # hybrid
+            res_n = newton_solve(unknown_residual, u0, (theta_fd,), tol=tol,
+                                 maxiter=maxiter)
+            res_lm = levenberg_marquardt_solve(
+                unknown_residual, u0, (theta_fd,), tol=tol, maxiter=2 * maxiter)
+            pick = res_n.success
+            res = RootResult(
+                jnp.where(pick, res_n.x, res_lm.x),
+                pick | res_lm.success,
+                jnp.where(pick, res_n.norm, res_lm.norm),
+                jnp.where(pick, res_n.n_iter, res_lm.n_iter),
+                res_n.n_feval + res_lm.n_feval,
+            )
+
+        vals = bijector.forward(res.x)
+        unknown_vals = vals[:n_unknown_vars]
+        calib_vals = vals[n_unknown_vars:]
+        theta_full = assemble_theta(theta_fd, calib_vals)
+        x = assemble_x(theta_full, unknown_vals)
+        norm = full_residual_norm(x, theta_full)
+        success = res.success & jnp.isfinite(norm) & (
+            norm < jnp.asarray(max(tol * 100, 1e-6), dtype))
+        return SteadyStateSolution(x, theta_full, success, norm, res.n_iter)
+
+    return solve_numeric

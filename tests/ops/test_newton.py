@@ -1,0 +1,61 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from geconpy_tpu.ops.newton import levenberg_marquardt_solve, newton_solve, root
+
+
+def quad(x):
+    # roots at x = [1, 2]
+    return jnp.array([x[0] ** 2 - 1.0, x[1] ** 2 - 4.0])
+
+
+def rosenbrock_grad(x):
+    # gradient of rosenbrock: root at (1, 1)
+    a, b = 1.0, 100.0
+    return jnp.array([
+        -2 * (a - x[0]) - 4 * b * x[0] * (x[1] - x[0] ** 2),
+        2 * b * (x[1] - x[0] ** 2),
+    ])
+
+
+@pytest.mark.parametrize("solver", [newton_solve, levenberg_marquardt_solve])
+def test_simple_quadratic(solver):
+    res = solver(quad, jnp.array([3.0, 3.0]))
+    assert bool(res.success)
+    np.testing.assert_allclose(np.asarray(res.x), [1.0, 2.0], atol=1e-8)
+
+
+def test_rosenbrock_root():
+    res = root(rosenbrock_grad, jnp.array([-1.2, 1.0]), method="hybrid",
+               maxiter=200)
+    assert bool(res.success)
+    np.testing.assert_allclose(np.asarray(res.x), [1.0, 1.0], atol=1e-6)
+
+
+def test_newton_vmap():
+    """Batched solving with per-draw success flags."""
+    def f(x, c):
+        return jnp.array([x[0] ** 2 - c[0]])
+
+    cs = jnp.array([[4.0], [9.0], [-1.0]])  # last one has no real root
+    solve = jax.vmap(lambda c: newton_solve(f, jnp.array([1.0]), (c,), maxiter=50))
+    res = solve(cs)
+    assert res.x.shape == (3, 1)
+    assert bool(res.success[0]) and bool(res.success[1])
+    assert not bool(res.success[2])
+    np.testing.assert_allclose(np.asarray(res.x[:2, 0]), [2.0, 3.0], atol=1e-8)
+
+
+def test_newton_jit_and_grad_through_solution():
+    """Implicit-style check: solution x(c)=sqrt(c) so dx/dc = 1/(2 sqrt(c)).
+    (Differentiating through the iteration — fine for few iters.)"""
+    def solve(c):
+        res = newton_solve(lambda x, c: jnp.array([x[0] ** 2 - c]),
+                           jnp.array([2.0]), (c,), maxiter=40)
+        return res.x[0]
+
+    c0 = 4.0
+    x = jax.jit(solve)(c0)
+    np.testing.assert_allclose(float(x), 2.0, atol=1e-10)
