@@ -1,0 +1,323 @@
+"""User-facing Model object.
+
+Role parity with ``gEconpy/model/model.py`` (Model:253, parameters:738,
+steady_state:919, linearize_model:1489, solve_model:1731) and
+``gEconpy/model/build.py`` (model_from_gcn:466).
+
+The Model owns one :class:`ModelFunctions` bundle and exposes:
+
+- host-friendly methods returning labeled results (SymbolDictionary /
+  pandas), for interactive use;
+- the underlying jitted pipeline pieces (``ss_solver``, ``linearizer``,
+  policy solvers) for batched/vmapped estimation, where thousands of
+  parameter draws run through steady state -> linearization -> policy solve
+  as one XLA program.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from functools import cached_property
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ..codegen.model_functions import ModelFunctions, build_model_functions
+from ..ops.cycle_reduction import solve_policy_cycle_reduction
+from ..ops.gensys_np import interpret_eu, solve_policy_gensys
+from ..symbolic import SteadyStateResults, SymbolDictionary
+from .perturbation import make_linearizer, solve_policy_backward, spectral_radius
+from .primitives import ModelPrimitives, load_gcn, load_gcn_file
+from .steady_state import make_steady_state_solver
+from .timing import classify_variables_by_timing, structural_incidence
+
+_log = logging.getLogger(__name__)
+
+__all__ = ["Model", "PolicySolution", "model_from_gcn"]
+
+VALID_SOLVERS = ("cycle_reduction", "gensys", "backward")
+
+
+@dataclass
+class PolicySolution:
+    """First-order solution  ŷ_t = T ŷ_{t-1} + R ε_t  with diagnostics."""
+
+    T: pd.DataFrame
+    R: pd.DataFrame
+    success: bool
+    solver: str
+    deterministic_norm: float
+    stochastic_norm: float
+    spectral_radius: float
+    eu: tuple[int, int] | None = None
+    steady_state: SteadyStateResults | None = None
+    loglin_scale: np.ndarray | None = None
+
+    def __repr__(self):
+        status = "ok" if self.success else "FAILED"
+        msg = (f"PolicySolution({self.solver}, {status}, "
+               f"det_norm={self.deterministic_norm:.2e}, "
+               f"stoch_norm={self.stochastic_norm:.2e}, "
+               f"rho={self.spectral_radius:.4f}")
+        if self.eu is not None:
+            msg += f", eu={self.eu}"
+        return msg + ")"
+
+
+class Model:
+    """A compiled DSGE model."""
+
+    def __init__(self, primitives: ModelPrimitives):
+        self.primitives = primitives
+        self._solvers: dict = {}
+
+    # ------------------------------------------------------------ lazy builds
+    @cached_property
+    def functions(self) -> ModelFunctions:
+        return build_model_functions(self.primitives)
+
+    @cached_property
+    def ss_solver(self):
+        return make_steady_state_solver(self.functions)
+
+    def linearizer(self, loglin_variables: bool | list[str] = True):
+        key = ("linearizer", loglin_variables if isinstance(loglin_variables, bool)
+               else tuple(sorted(loglin_variables)))
+        if key not in self._solvers:
+            self._solvers[key] = make_linearizer(self.functions, loglin_variables)
+        return self._solvers[key]
+
+    # ------------------------------------------------------------- properties
+    @property
+    def variables(self) -> list[str]:
+        return self.functions.variable_names
+
+    @property
+    def shocks(self) -> list[str]:
+        return self.functions.shock_names
+
+    @property
+    def param_names(self) -> list[str]:
+        return [p.name for p in self.functions.free_params]
+
+    @property
+    def n_variables(self) -> int:
+        return self.functions.n_variables
+
+    @property
+    def n_shocks(self) -> int:
+        return self.functions.n_shocks
+
+    @cached_property
+    def is_backward_looking(self) -> bool:
+        """True when no equation references t+1 (structural fact)."""
+        inc = structural_incidence(self.primitives.equations,
+                                   self.functions.variables)
+        return not inc["lead"].any()
+
+    @cached_property
+    def variable_timing(self) -> dict[str, list[str]]:
+        classified = classify_variables_by_timing(
+            self.primitives.equations, self.functions.variables)
+        return {k: [v.base_name for v in vs] for k, vs in classified.items()}
+
+    # ----------------------------------------------------------------- params
+    def default_theta(self, **updates) -> jnp.ndarray:
+        """Free-parameter vector from GCN calibration, with overrides."""
+        values = {p.name: float(v) for p, v in self.primitives.param_dict.items()}
+        unknown = set(updates) - set(values)
+        if unknown:
+            raise KeyError(f"unknown parameter(s): {sorted(unknown)}; "
+                           f"free parameters are {sorted(values)}")
+        values.update({k: float(v) for k, v in updates.items()})
+        return jnp.array([values[p.name] for p in self.functions.free_params])
+
+    def parameters(self, **updates) -> SymbolDictionary:
+        """Full parameter dictionary (free + deterministic), with overrides."""
+        theta = self.default_theta(**updates)
+        full = np.asarray(self.functions.f_params(theta))
+        syms = (list(self.functions.free_params)
+                + list(self.functions.deterministic_params))
+        return SymbolDictionary(dict(zip(syms, full.tolist())))
+
+    # ----------------------------------------------------------- steady state
+    def steady_state(self, verbose: bool = True, **updates) -> SteadyStateResults:
+        theta = self.default_theta(**updates)
+        sol = jax.jit(self.ss_solver)(theta)
+        success = bool(sol.success)
+        if verbose:
+            if success:
+                _log.info("Steady state found (resid norm %.3e, %d iterations)",
+                          float(sol.resid_norm), int(sol.n_iter))
+            else:
+                _log.warning("Steady state FAILED (resid norm %.3e)",
+                             float(sol.resid_norm))
+        values = np.asarray(sol.x_ss)
+        result = SteadyStateResults(
+            {v.to_ss(): float(values[i]) for i, v in enumerate(self.functions.variables)},
+            success=success,
+            resid_norm=float(sol.resid_norm),
+        )
+        if self.functions.calibrated_params:
+            theta_full = np.asarray(sol.theta_full)
+            offset = len(self.functions.free_params) + len(self.functions.deterministic_params)
+            for i, p in enumerate(self.functions.calibrated_params):
+                result[p] = float(theta_full[offset + i])
+        return result
+
+    # ---------------------------------------------------------- linearization
+    def linearize_model(self, loglin_variables: bool | list[str] = True,
+                        steady_state: SteadyStateResults | None = None,
+                        **updates) -> dict[str, pd.DataFrame]:
+        """A/B/C/D of  A ŷ_{t-1} + B ŷ_t + C ŷ_{t+1} + D ε_t = 0 at the SS."""
+        theta = self.default_theta(**updates)
+        sol = jax.jit(self.ss_solver)(theta)
+        lin = jax.jit(self.linearizer(loglin_variables))(sol.x_ss, sol.theta_full)
+        names = self.variables
+        out = {
+            "A": pd.DataFrame(np.asarray(lin.A), columns=names),
+            "B": pd.DataFrame(np.asarray(lin.B), columns=names),
+            "C": pd.DataFrame(np.asarray(lin.C), columns=names),
+            "D": pd.DataFrame(np.asarray(lin.D), columns=self.shocks),
+        }
+        return out
+
+    # ------------------------------------------------------------------ solve
+    def solve_model(
+        self,
+        solver: Literal["cycle_reduction", "gensys", "backward"] | None = None,
+        loglin_variables: bool | list[str] = True,
+        tol: float = 1e-12,
+        maxiter: int = 100,
+        on_failure: Literal["error", "ignore"] = "error",
+        verbose: bool = True,
+        **updates,
+    ) -> PolicySolution:
+        """Steady state -> linearize -> first-order policy  T, R."""
+        if solver is None:
+            solver = "backward" if self.is_backward_looking else "cycle_reduction"
+        if solver not in VALID_SOLVERS:
+            raise ValueError(f"solver must be one of {VALID_SOLVERS}, got {solver!r}")
+        if solver == "backward" and not self.is_backward_looking:
+            raise ValueError("backward solver requested but the model has "
+                             "forward-looking (t+1) terms")
+
+        theta = self.default_theta(**updates)
+        linearize = self.linearizer(loglin_variables)
+
+        sol = jax.jit(self.ss_solver)(theta)
+        if not bool(sol.success) and on_failure == "error":
+            raise RuntimeError(
+                f"steady state failed (residual norm {float(sol.resid_norm):.3e})")
+        lin = jax.jit(linearize)(sol.x_ss, sol.theta_full)
+        A, B, C, D = lin.A, lin.B, lin.C, lin.D
+
+        eu = None
+        if solver == "gensys":
+            T_np, R_np, eu = solve_policy_gensys(
+                np.asarray(A), np.asarray(B), np.asarray(C), np.asarray(D))
+            success = eu[0] == 1 and eu[1] == 1 and np.all(np.isfinite(T_np))
+            T, R = jnp.asarray(T_np), jnp.asarray(R_np)
+            if verbose:
+                _log.info(interpret_eu(eu))
+        elif solver == "backward":
+            T, R, ok = jax.jit(solve_policy_backward)(A, B, D)
+            success = bool(ok)
+        else:
+            T, R, ok, n_iter, resid = jax.jit(
+                lambda a, b, c, d: solve_policy_cycle_reduction(
+                    a, b, c, d, tol=tol, maxiter=maxiter))(A, B, C, D)
+            success = bool(ok)
+
+        det_norm = float(jnp.max(jnp.abs(A + B @ T + C @ T @ T)))
+        stoch_norm = float(jnp.max(jnp.abs((B + C @ T) @ R + D)))
+        rho = float(spectral_radius(T))
+        success = bool(success) and bool(sol.success)
+
+        if not success and on_failure == "error":
+            msg = f"policy solution failed (solver={solver}"
+            if eu is not None:
+                msg += f", {interpret_eu(eu)}"
+            raise RuntimeError(msg + ")")
+        if verbose and success:
+            _log.info("Solved with %s: det norm %.2e, stoch norm %.2e",
+                      solver, det_norm, stoch_norm)
+
+        names = self.variables
+        values = np.asarray(sol.x_ss)
+        ss = SteadyStateResults(
+            {v.to_ss(): float(values[i])
+             for i, v in enumerate(self.functions.variables)},
+            success=bool(sol.success), resid_norm=float(sol.resid_norm))
+        return PolicySolution(
+            T=pd.DataFrame(np.asarray(T), index=names, columns=names),
+            R=pd.DataFrame(np.asarray(R), index=names, columns=self.shocks),
+            success=success,
+            solver=solver,
+            deterministic_norm=det_norm,
+            stochastic_norm=stoch_norm,
+            spectral_radius=rho,
+            eu=eu,
+            steady_state=ss,
+            loglin_scale=np.asarray(lin.loglin_scale),
+        )
+
+    # ------------------------------------------------------------- diagnostics
+    def check_bk_condition(self, verbose: bool = True, **updates) -> pd.DataFrame:
+        """Blanchard-Kahn eigenvalue table (host-side QZ diagnostic).
+
+        Role parity with ``gEconpy/model/perturbation.py:412``.
+        """
+        from scipy.linalg import ordqz
+
+        from ..ops.gensys_np import gensys_setup
+
+        lin = self.linearize_model(**updates)
+        A, B, C, D = (lin[k].to_numpy() for k in "ABCD")
+        g0, g1, _, _, pi, lead_idx = gensys_setup(A, B, C, D)
+        AA, BB, alpha, beta, _, _ = ordqz(g0, g1, output="complex")
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lam = np.where(np.abs(alpha) > 1e-13, beta / alpha, np.inf)
+        moduli = np.abs(lam)
+        n_unstable = int(np.sum(moduli > 1.0 + 1e-9))
+        n_forward = len(lead_idx)
+        satisfied = n_unstable == n_forward
+        if verbose:
+            _log.info("BK condition: %d unstable roots, %d forward-looking "
+                      "variables -> %s", n_unstable, n_forward,
+                      "satisfied" if satisfied else "VIOLATED")
+        order = np.argsort(moduli)
+        df = pd.DataFrame({
+            "real": np.real(lam)[order],
+            "imag": np.imag(lam)[order],
+            "modulus": moduli[order],
+        })
+        df.attrs["bk_satisfied"] = satisfied
+        df.attrs["n_unstable"] = n_unstable
+        df.attrs["n_forward"] = n_forward
+        return df
+
+    def __repr__(self):
+        return (f"Model(variables={self.n_variables}, shocks={self.n_shocks}, "
+                f"free_params={len(self.functions.free_params)}, "
+                f"calibrated={len(self.functions.calibrated_params)})")
+
+
+def model_from_gcn(source_or_path, verbose: bool = True, **kwargs) -> Model:
+    """Build a Model from GCN source text or a file path."""
+    text = str(source_or_path)
+    if "\n" not in text and text.endswith(".gcn"):
+        primitives = load_gcn_file(text, **kwargs)
+    else:
+        primitives = load_gcn(text, **kwargs)
+    model = Model(primitives)
+    if verbose:
+        _log.info("Model compiled: %d equations, %d variables, %d shocks, "
+                  "%d free parameters",
+                  len(primitives.equations), model.n_variables,
+                  model.n_shocks, len(model.param_names))
+    return model
