@@ -1,0 +1,48 @@
+"""geconpy_tpu — a TPU-native DSGE modeling framework.
+
+Capabilities parity with `jessegrabowski/gEconpy`, re-designed for JAX/XLA on
+TPU: GCN model language -> symbolic FOC derivation -> jitted steady-state and
+first-order perturbation solvers -> device-side Kalman filtering and NUTS
+estimation, with vmap over parameter draws and shard_map over device meshes.
+"""
+
+__version__ = "0.1.0"
+
+from .analysis.simulate import impulse_response_function, simulate
+from .lang import parse_gcn, print_model
+from .models.model import Model, PolicySolution, model_from_gcn
+from .models.primitives import ModelPrimitives, load_gcn, load_gcn_file
+from .stats.covariance import autocovariance_matrix, stationary_covariance_matrix
+from .symbolic import SteadyStateResults, SymbolDictionary, TimeAwareSymbol
+
+
+def get_example_gcn(name: str = "rbc") -> str:
+    """Return the source of a bundled example model (see geconpy_tpu/data)."""
+    import pathlib
+
+    data_dir = pathlib.Path(__file__).parent / "data"
+    path = data_dir / f"{name}.gcn"
+    if not path.exists():
+        available = sorted(p.stem for p in data_dir.glob("*.gcn"))
+        raise FileNotFoundError(f"no example model {name!r}; available: {available}")
+    return path.read_text()
+
+
+__all__ = [
+    "Model",
+    "PolicySolution",
+    "ModelPrimitives",
+    "SteadyStateResults",
+    "SymbolDictionary",
+    "TimeAwareSymbol",
+    "model_from_gcn",
+    "load_gcn",
+    "load_gcn_file",
+    "parse_gcn",
+    "print_model",
+    "simulate",
+    "impulse_response_function",
+    "stationary_covariance_matrix",
+    "autocovariance_matrix",
+    "get_example_gcn",
+]

@@ -1,0 +1,166 @@
+"""Kalman filter / smoother as fused lax.scan kernels.
+
+Replaces the reference's pytensor-scan filter (entered via pymc_extras from
+``gEconpy/model/statespace.py:1139``) with a TPU-first design:
+
+- one fused predict+update step per time point inside ``lax.scan`` — XLA
+  keeps the whole recursion on-chip; states are small so the step is
+  VPU/MXU-bound with zero host sync;
+- missing observations handled by masking (rows of Z/H neutralized, loglik
+  normalizing constant counts only observed entries), so ragged data keeps
+  static shapes;
+- Cholesky-based innovation solve (PSD-stable) and Joseph-form covariance
+  update;
+- everything is vmappable over parameter draws — the estimation hot loop
+  vmaps solve+filter over thousands of chains.
+
+State space:
+    x_t = T x_{t-1} + R eps_t,        eps ~ N(0, Q)
+    y_t = Z x_t + d + eta_t,          eta ~ N(0, H)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["KalmanFilterResult", "KalmanSmootherResult", "kalman_filter",
+           "kalman_smoother", "kalman_loglik"]
+
+_LOG2PI = 1.8378770664093453
+
+
+class KalmanFilterResult(NamedTuple):
+    loglik: jax.Array                 # scalar total log-likelihood
+    loglik_t: jax.Array               # (periods,) per-period contributions
+    filtered_mean: jax.Array          # (periods, n) E[x_t | y_{1:t}]
+    filtered_cov: jax.Array           # (periods, n, n)
+    predicted_mean: jax.Array         # (periods, n) E[x_t | y_{1:t-1}]
+    predicted_cov: jax.Array          # (periods, n, n)
+
+
+class KalmanSmootherResult(NamedTuple):
+    smoothed_mean: jax.Array          # (periods, n) E[x_t | y_{1:T}]
+    smoothed_cov: jax.Array           # (periods, n, n)
+
+
+def _filter_step(T, RQR, Z, d, H, carry, y_t):
+    """One fused predict+update.  y_t may contain NaN (missing)."""
+    x_prev, P_prev = carry
+
+    # predict
+    x_pred = T @ x_prev
+    P_pred = T @ P_prev @ T.T + RQR
+
+    # mask missing observations
+    mask = jnp.isfinite(y_t)
+    maskf = mask.astype(x_pred.dtype)
+    y_eff = jnp.where(mask, y_t, 0.0)
+    Z_eff = Z * maskf[:, None]
+    d_eff = d * maskf
+
+    v = y_eff - Z_eff @ x_pred - d_eff
+    PZt = P_pred @ Z_eff.T
+    F = Z_eff @ PZt + H * jnp.outer(maskf, maskf) \
+        + jnp.diag(1.0 - maskf)  # unit variance on missing rows keeps F SPD
+    chol_F = jnp.linalg.cholesky(F)
+    # solve F w = v  and  F K' = (P Z')' via the Cholesky factor
+    w = jax.scipy.linalg.cho_solve((chol_F, True), v)
+    K = jax.scipy.linalg.cho_solve((chol_F, True), PZt.T).T  # (n, k)
+
+    x_filt = x_pred + K @ v
+    eye = jnp.eye(P_pred.shape[0], dtype=P_pred.dtype)
+    IKZ = eye - K @ Z_eff
+    H_eff = H * jnp.outer(maskf, maskf) + jnp.diag(1.0 - maskf)
+    P_filt = IKZ @ P_pred @ IKZ.T + K @ H_eff @ K.T  # Joseph form
+    P_filt = 0.5 * (P_filt + P_filt.T)
+
+    # log-likelihood: only observed components count; missing rows contribute
+    # v=0 and a unit diagonal in F (log det contribution 0)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol_F)))
+    n_obs_t = jnp.sum(maskf)
+    ll_t = -0.5 * (n_obs_t * _LOG2PI + logdet + v @ w)
+
+    return (x_filt, P_filt), (ll_t, x_filt, P_filt, x_pred, P_pred)
+
+
+def kalman_filter(y, T, R, Q, Z, H, d=None, x0=None, P0=None
+                  ) -> KalmanFilterResult:
+    """Run the filter over ``y`` of shape (periods, k_obs); NaN = missing.
+
+    ``x0``/``P0`` default to the zero vector / stationary covariance must be
+    supplied by the caller (see ``solve_discrete_lyapunov``) — the statespace
+    layer wires that in.
+    """
+    y = jnp.asarray(y)
+    T = jnp.asarray(T)
+    R = jnp.asarray(R)
+    Q = jnp.asarray(Q, dtype=T.dtype)
+    Z = jnp.asarray(Z, dtype=T.dtype)
+    H = jnp.asarray(H, dtype=T.dtype)
+    n = T.shape[0]
+    k = Z.shape[0]
+    if d is None:
+        d = jnp.zeros((k,), T.dtype)
+    if x0 is None:
+        x0 = jnp.zeros((n,), T.dtype)
+    if P0 is None:
+        from .lyapunov import solve_discrete_lyapunov
+
+        P0 = solve_discrete_lyapunov(T, R @ Q @ R.T)
+
+    RQR = R @ Q @ R.T
+
+    def step(carry, y_t):
+        return _filter_step(T, RQR, Z, d, H, carry, y_t)
+
+    (_, _), (ll_t, x_filt, P_filt, x_pred, P_pred) = jax.lax.scan(
+        step, (jnp.asarray(x0, T.dtype), jnp.asarray(P0, T.dtype)), y)
+
+    return KalmanFilterResult(
+        loglik=jnp.sum(ll_t),
+        loglik_t=ll_t,
+        filtered_mean=x_filt,
+        filtered_cov=P_filt,
+        predicted_mean=x_pred,
+        predicted_cov=P_pred,
+    )
+
+
+def kalman_loglik(y, T, R, Q, Z, H, d=None, x0=None, P0=None):
+    """Log-likelihood only (the estimation hot path).  NaN-safe: a non-finite
+    result is returned as -inf so batched samplers reject the draw."""
+    ll = kalman_filter(y, T, R, Q, Z, H, d, x0, P0).loglik
+    return jnp.where(jnp.isfinite(ll), ll, -jnp.inf)
+
+
+def kalman_smoother(y, T, R, Q, Z, H, d=None, x0=None, P0=None
+                    ) -> KalmanSmootherResult:
+    """Rauch-Tung-Striebel smoother (backward lax.scan over filter output)."""
+    T = jnp.asarray(T)
+    res = kalman_filter(y, T, R, Q, Z, H, d, x0, P0)
+
+    def backward(carry, inputs):
+        x_next_smooth, P_next_smooth = carry
+        x_filt, P_filt, x_pred_next, P_pred_next = inputs
+        # J = P_filt Tᵀ P_pred_next⁻¹, via solve on the symmetric P_pred_next
+        J = jnp.linalg.solve(P_pred_next.T, (P_filt @ T.T).T).T
+        x_s = x_filt + J @ (x_next_smooth - x_pred_next)
+        P_s = P_filt + J @ (P_next_smooth - P_pred_next) @ J.T
+        P_s = 0.5 * (P_s + P_s.T)
+        return (x_s, P_s), (x_s, P_s)
+
+    # inputs at time t use the prediction for t+1
+    x_filt, P_filt = res.filtered_mean, res.filtered_cov
+    x_pred_next = res.predicted_mean[1:]
+    P_pred_next = res.predicted_cov[1:]
+    inputs = (x_filt[:-1], P_filt[:-1], x_pred_next, P_pred_next)
+
+    init = (x_filt[-1], P_filt[-1])
+    (_, _), (xs_rev, Ps_rev) = jax.lax.scan(backward, init, inputs, reverse=True)
+
+    smoothed_mean = jnp.concatenate([xs_rev, x_filt[-1][None]], axis=0)
+    smoothed_cov = jnp.concatenate([Ps_rev, P_filt[-1][None]], axis=0)
+    return KalmanSmootherResult(smoothed_mean, smoothed_cov)
