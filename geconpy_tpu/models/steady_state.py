@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..codegen.model_functions import ModelFunctions
+from ..ops.implicit import implicit_root
 from ..ops.newton import RootResult, levenberg_marquardt_solve, newton_solve
 
 __all__ = ["SteadyStateSolution", "make_steady_state_solver"]
@@ -107,16 +108,10 @@ def make_steady_state_solver(
             r = jnp.concatenate([r, mf.f_calib_resid(x, theta_full)])
         return r
 
-    def solve_numeric(theta_free: jax.Array, x0: jax.Array | None = None
-                      ) -> SteadyStateSolution:
-        theta_fd = mf.f_params(theta_free)
-        dtype = theta_fd.dtype
-        if x0 is None:
-            x0_c = jnp.full((n_u,), default_guess, dtype=dtype)
-        else:
-            x0_c = jnp.asarray(x0, dtype=dtype)
-        u0 = bijector.inverse(x0_c)
-
+    def _run_solver(u0: jax.Array, theta_fd: jax.Array):
+        """(u0, theta) -> (u_star, aux).  Wrapped in implicit_root below so
+        gradients flow via the implicit function theorem instead of
+        differentiating through the while_loop iterations."""
         if method == "newton":
             res = newton_solve(unknown_residual, u0, (theta_fd,), tol=tol,
                                maxiter=maxiter)
@@ -136,6 +131,22 @@ def make_steady_state_solver(
                 jnp.where(pick, res_n.n_iter, res_lm.n_iter),
                 res_n.n_feval + res_lm.n_feval,
             )
+        return res.x, (res.success, res.norm, res.n_iter)
+
+    _implicit_solve = implicit_root(unknown_residual, _run_solver)
+
+    def solve_numeric(theta_free: jax.Array, x0: jax.Array | None = None
+                      ) -> SteadyStateSolution:
+        theta_fd = mf.f_params(theta_free)
+        dtype = theta_fd.dtype
+        if x0 is None:
+            x0_c = jnp.full((n_u,), default_guess, dtype=dtype)
+        else:
+            x0_c = jnp.asarray(x0, dtype=dtype)
+        u0 = bijector.inverse(x0_c)
+
+        u_star, (succ, _norm, n_iter) = _implicit_solve(u0, theta_fd)
+        res = RootResult(u_star, succ, _norm, n_iter, n_iter)
 
         vals = bijector.forward(res.x)
         unknown_vals = vals[:n_unknown_vars]
