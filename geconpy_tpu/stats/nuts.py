@@ -1,0 +1,420 @@
+"""Device-side No-U-Turn Sampler.
+
+Replaces the reference's PyMC/NUTS dependency (``pm.sample`` over the
+statespace logp, one process per chain) with a JAX-native NUTS whose kernel
+is one jittable function — so **chains are vmapped**: thousands of chains run
+batched on a single chip, and the parallel layer shard_maps chain blocks
+across a mesh (SURVEY.md §2.9's TPU-native chain parallelism).
+
+Implementation notes (written from the published algorithms):
+
+- Hoffman & Gelman (2014) NUTS with multinomial (progressive) state sampling
+  along the trajectory.
+- Iterative tree building with a static ``max_depth``: one ``fori_loop`` per
+  doubling, U-turn checks for every completed power-of-two-aligned subtree
+  via a checkpoint buffer — slot m holds the state that opened the currently
+  active subtree of size 2^m, so checks need O(max_depth) memory and no
+  recursion (XLA-compatible control flow).
+- Dual-averaging step-size adaptation (Nesterov) targeting 0.8 acceptance,
+  Stan-style windowed diagonal mass-matrix estimation (Welford).
+- Divergences = energy error > 1000; non-finite log posterior is handled by
+  rejection, so flag-gated -inf draws from the DSGE logpost are safe.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["NUTSResult", "sample_nuts", "nuts_kernel", "WindowedAdaptation"]
+
+_MAX_DELTA_ENERGY = 1000.0
+
+
+class _TreeState(NamedTuple):
+    # current proposal
+    q_prop: jax.Array
+    logp_prop: jax.Array
+    grad_prop: jax.Array
+    # trajectory endpoints (left = backward in time, right = forward)
+    q_left: jax.Array
+    p_left: jax.Array
+    grad_left: jax.Array
+    logp_left: jax.Array
+    q_right: jax.Array
+    p_right: jax.Array
+    grad_right: jax.Array
+    logp_right: jax.Array
+    # multinomial weight accumulator and flags
+    log_weight: jax.Array
+    sum_accept_prob: jax.Array
+    n_leapfrog: jax.Array
+    turning: jax.Array
+    diverging: jax.Array
+
+
+def _leapfrog(grad_fn, q, p, grad, eps, inv_mass):
+    p_half = p + 0.5 * eps * grad
+    q_new = q + eps * inv_mass * p_half
+    logp_new, grad_new = grad_fn(q_new)
+    p_new = p_half + 0.5 * eps * grad_new
+    return q_new, p_new, logp_new, grad_new
+
+
+def _kinetic(p, inv_mass):
+    return 0.5 * jnp.sum(inv_mass * p * p)
+
+
+def _is_uturn(q_minus, q_plus, p_minus, p_plus, inv_mass):
+    dq = q_plus - q_minus
+    return (jnp.dot(dq, inv_mass * p_minus) < 0) | \
+           (jnp.dot(dq, inv_mass * p_plus) < 0)
+
+
+def nuts_kernel(logp_fn: Callable, q, logp, grad, key, step_size, inv_mass,
+                max_depth: int = 8):
+    """One NUTS transition.  Returns (q', logp', grad', info dict)."""
+    dim = q.shape[0]
+    dtype = q.dtype
+
+    def logp_and_grad(qq):
+        val, g = jax.value_and_grad(logp_fn)(qq)
+        # a non-finite gradient at a -inf point must not poison arithmetic
+        g = jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g))
+        return val, g
+
+    key_mom, key_tree = jax.random.split(key)
+    p0 = jax.random.normal(key_mom, (dim,), dtype) / jnp.sqrt(inv_mass)
+    energy0 = -logp + _kinetic(p0, inv_mass)
+
+    init = _TreeState(
+        q_prop=q, logp_prop=logp, grad_prop=grad,
+        q_left=q, p_left=p0, grad_left=grad, logp_left=logp,
+        q_right=q, p_right=p0, grad_right=grad, logp_right=logp,
+        log_weight=jnp.asarray(0.0, dtype),
+        sum_accept_prob=jnp.asarray(0.0, dtype),
+        n_leapfrog=jnp.asarray(0, jnp.int32),
+        turning=jnp.asarray(False),
+        diverging=jnp.asarray(False),
+    )
+
+    # checkpoint buffers for aligned-subtree U-turn checks
+    ckpt_q = jnp.zeros((max_depth + 1, dim), dtype)
+    ckpt_p = jnp.zeros((max_depth + 1, dim), dtype)
+
+    def extend_subtree(state, depth, direction, key):
+        """Add 2^depth leapfrog steps in ``direction``; progressive
+        multinomial sampling; per-aligned-subtree U-turn checks."""
+        n_steps = 2**depth
+        eps = direction * step_size
+
+        def take_from(state):
+            return jax.lax.cond(
+                direction > 0,
+                lambda s: (s.q_right, s.p_right, s.grad_right, s.logp_right),
+                lambda s: (s.q_left, s.p_left, s.grad_left, s.logp_left),
+                state)
+
+        def leaf_body(i, carry):
+            state, cq, cp, key, sub_logw = carry
+            q0, p0_, g0, _ = take_from(state)
+            q1, p1, logp1, g1 = _leapfrog(logp_and_grad, q0, p0_, g0, eps,
+                                          inv_mass)
+            energy1 = -logp1 + _kinetic(p1, inv_mass)
+            delta = energy1 - energy0
+            delta = jnp.where(jnp.isnan(delta), jnp.inf, delta)
+            diverging = delta > _MAX_DELTA_ENERGY
+            log_w_leaf = jnp.where(diverging, -jnp.inf, -delta)
+            accept_prob = jnp.minimum(1.0, jnp.exp(-delta))
+
+            # update endpoint in the travel direction
+            state = jax.lax.cond(
+                direction > 0,
+                lambda s: s._replace(q_right=q1, p_right=p1, grad_right=g1,
+                                     logp_right=logp1),
+                lambda s: s._replace(q_left=q1, p_left=p1, grad_left=g1,
+                                     logp_left=logp1),
+                state)
+
+            # progressive multinomial sampling within the new subtree
+            sub_logw_new = jnp.logaddexp(sub_logw, log_w_leaf)
+            key, sub = jax.random.split(key)
+            accept_leaf = jnp.log(jax.random.uniform(sub, dtype=dtype)) \
+                < (log_w_leaf - sub_logw_new)
+            state = jax.lax.cond(
+                accept_leaf & ~diverging,
+                lambda s: s._replace(q_prop=q1, logp_prop=logp1, grad_prop=g1),
+                lambda s: s,
+                state)
+
+            # ---- aligned-subtree checkpointing & U-turn checks
+            # store the leaf as the opener of every subtree size 2^m with
+            # i % 2^m == 0
+            ms = jnp.arange(max_depth + 1)
+            opens = (jnp.mod(i, 2**ms) == 0) & (ms >= 1) & (ms <= depth)
+            cq = jnp.where(opens[:, None], q1[None, :], cq)
+            cp = jnp.where(opens[:, None], p1[None, :], cp)
+            # subtree of size 2^m ends at leaf i when (i+1) % 2^m == 0
+            ends = (jnp.mod(i + 1, 2**ms) == 0) & (ms >= 1) & (ms <= depth)
+
+            def check_m(m):
+                return _is_uturn(cq[m], q1, cp[m], p1, inv_mass) \
+                    | _is_uturn(q1, cq[m], p1, cp[m], inv_mass)
+
+            # orientation: for backward direction the subtree runs in
+            # negative time; the U-turn criterion is symmetric under swap, so
+            # one orientation check each way suffices
+            turning_sub = jnp.any(jnp.where(
+                ends, jax.vmap(check_m)(jnp.arange(max_depth + 1)), False))
+
+            state = state._replace(
+                sum_accept_prob=state.sum_accept_prob + accept_prob,
+                n_leapfrog=state.n_leapfrog + 1,
+                turning=state.turning | turning_sub,
+                diverging=state.diverging | diverging,
+            )
+            return (state, cq, cp, key, sub_logw_new)
+
+        def cond_body(i, carry):
+            state = carry[0]
+            return jax.lax.cond(
+                state.turning | state.diverging,
+                lambda c: c,
+                lambda c: leaf_body(i, c),
+                carry)
+
+        sub_logw0 = jnp.asarray(-jnp.inf, dtype)
+        carry = (state, ckpt_q, ckpt_p, key, sub_logw0)
+        carry = jax.lax.fori_loop(0, n_steps, cond_body, carry)
+        state, _, _, _, sub_logw = carry
+        return state, sub_logw
+
+    def doubling_body(depth, carry):
+        state, key, done = carry
+
+        def do_double(carry):
+            state, key, _ = carry
+            key, k_dir, k_accept, k_sub = jax.random.split(key, 4)
+            direction = jnp.where(jax.random.bernoulli(k_dir), 1.0, -1.0) \
+                .astype(dtype)
+            old_prop = (state.q_prop, state.logp_prop, state.grad_prop)
+            old_logw = state.log_weight
+            new_state, sub_logw = extend_subtree(state, depth, direction, k_sub)
+
+            # multinomial acceptance of the new subtree's proposal vs the old
+            # trajectory's (biased progressive sampling, Betancourt 2017)
+            log_ratio = sub_logw - old_logw
+            accept_new = (jnp.log(jax.random.uniform(k_accept, dtype=dtype))
+                          < log_ratio) & ~new_state.diverging & ~new_state.turning
+            state = jax.lax.cond(
+                accept_new,
+                lambda s: s,
+                lambda s: s._replace(q_prop=old_prop[0], logp_prop=old_prop[1],
+                                     grad_prop=old_prop[2]),
+                new_state)
+            state = state._replace(log_weight=jnp.logaddexp(old_logw, sub_logw))
+
+            # whole-trajectory U-turn check
+            turning_full = _is_uturn(state.q_left, state.q_right,
+                                     state.p_left, state.p_right, inv_mass)
+            state = state._replace(turning=state.turning | turning_full)
+            done = state.turning | state.diverging
+            return (state, key, done)
+
+        return jax.lax.cond(done, lambda c: c, do_double, carry)
+
+    state, _, _ = jax.lax.fori_loop(
+        0, max_depth, doubling_body,
+        (init, key_tree, jnp.asarray(False)))
+
+    n = jnp.maximum(state.n_leapfrog, 1)
+    info = {
+        "accept_prob": state.sum_accept_prob / n,
+        "n_leapfrog": state.n_leapfrog,
+        "diverging": state.diverging,
+        "energy": energy0,
+    }
+    return state.q_prop, state.logp_prop, state.grad_prop, info
+
+
+# ------------------------------------------------------------------ adaptation
+
+class WindowedAdaptation(NamedTuple):
+    """Dual-averaging step size + Welford diagonal mass matrix."""
+
+    log_eps: jax.Array
+    log_eps_bar: jax.Array
+    h_bar: jax.Array
+    mu: jax.Array
+    count: jax.Array
+    welford_mean: jax.Array
+    welford_m2: jax.Array
+    welford_n: jax.Array
+    inv_mass: jax.Array
+
+
+def _adapt_init(eps0, dim, dtype):
+    return WindowedAdaptation(
+        log_eps=jnp.log(jnp.asarray(eps0, dtype)),
+        log_eps_bar=jnp.asarray(0.0, dtype),
+        h_bar=jnp.asarray(0.0, dtype),
+        mu=jnp.log(10.0 * jnp.asarray(eps0, dtype)),
+        count=jnp.asarray(0, jnp.int32),
+        welford_mean=jnp.zeros((dim,), dtype),
+        welford_m2=jnp.zeros((dim,), dtype),
+        welford_n=jnp.asarray(0, jnp.int32),
+        inv_mass=jnp.ones((dim,), dtype),
+    )
+
+
+def _dual_averaging_update(adapt, accept_prob, target=0.8, gamma=0.05,
+                           t0=10.0, kappa=0.75):
+    count = adapt.count + 1
+    t = count.astype(adapt.log_eps.dtype)
+    eta_h = 1.0 / (t + t0)
+    h_bar = (1 - eta_h) * adapt.h_bar + eta_h * (target - accept_prob)
+    log_eps = adapt.mu - jnp.sqrt(t) / gamma * h_bar
+    eta = t ** (-kappa)
+    log_eps_bar = eta * log_eps + (1 - eta) * adapt.log_eps_bar
+    return adapt._replace(log_eps=log_eps, log_eps_bar=log_eps_bar,
+                          h_bar=h_bar, count=count)
+
+
+def _welford_update(adapt, q):
+    n = adapt.welford_n + 1
+    delta = q - adapt.welford_mean
+    mean = adapt.welford_mean + delta / n
+    m2 = adapt.welford_m2 + delta * (q - mean)
+    return adapt._replace(welford_mean=mean, welford_m2=m2, welford_n=n)
+
+
+def _welford_finalize(adapt):
+    n = jnp.maximum(adapt.welford_n, 2).astype(adapt.welford_m2.dtype)
+    var = adapt.welford_m2 / (n - 1)
+    # Stan's regularization toward unit variance
+    var = (n / (n + 5.0)) * var + 1e-3 * (5.0 / (n + 5.0))
+    return adapt._replace(
+        inv_mass=var,
+        welford_mean=jnp.zeros_like(adapt.welford_mean),
+        welford_m2=jnp.zeros_like(adapt.welford_m2),
+        welford_n=jnp.asarray(0, jnp.int32),
+    )
+
+
+def _window_schedule(num_warmup: int):
+    """Stan's three-phase schedule: fast, doubling slow windows, fast."""
+    if num_warmup < 20:
+        return np.zeros(num_warmup, dtype=bool), np.zeros(num_warmup, dtype=bool)
+    init_fast = int(0.15 * num_warmup)
+    term_fast = int(0.1 * num_warmup)
+    slow_len = num_warmup - init_fast - term_fast
+    in_slow = np.zeros(num_warmup, dtype=bool)
+    in_slow[init_fast:init_fast + slow_len] = True
+    window_end = np.zeros(num_warmup, dtype=bool)
+    # doubling windows inside the slow phase: 25, 50, 100, ... (last absorbs)
+    start = init_fast
+    w = max(25, slow_len // 15)
+    while start < init_fast + slow_len:
+        end = min(start + w, init_fast + slow_len)
+        if init_fast + slow_len - end < w * 2:
+            end = init_fast + slow_len
+        window_end[end - 1] = True
+        start = end
+        w *= 2
+    return in_slow, window_end
+
+
+# ------------------------------------------------------------------- sampling
+
+class NUTSResult(NamedTuple):
+    samples: jax.Array           # (chains, draws, dim) unconstrained
+    logp: jax.Array              # (chains, draws)
+    accept_prob: jax.Array       # (chains, draws)
+    diverging: jax.Array         # (chains, draws)
+    n_leapfrog: jax.Array        # (chains, draws)
+    step_size: jax.Array         # (chains,)
+    inv_mass: jax.Array          # (chains, dim)
+
+
+def sample_nuts(
+    logp_fn: Callable,
+    initial_position: jax.Array,     # (chains, dim)
+    key,
+    num_warmup: int = 500,
+    num_samples: int = 500,
+    max_depth: int = 8,
+    initial_step_size: float = 0.1,
+    target_accept: float = 0.8,
+) -> NUTSResult:
+    """Run vmapped NUTS chains.
+
+    ``logp_fn(q) -> scalar`` must be jittable; chains are vmapped, so the
+    whole sampler is one XLA program.  Warmup adapts step size (dual
+    averaging) and a diagonal mass matrix (Stan-style windows) per chain.
+    """
+    initial_position = jnp.asarray(initial_position)
+    n_chains, dim = initial_position.shape
+    dtype = initial_position.dtype
+
+    in_slow_np, window_end_np = _window_schedule(num_warmup)
+    in_slow = jnp.asarray(in_slow_np)
+    window_end = jnp.asarray(window_end_np)
+
+    def logp_grad(q):
+        val, g = jax.value_and_grad(logp_fn)(q)
+        g = jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g))
+        return val, g
+
+    def warmup_step(carry, inputs):
+        step_idx, key = inputs
+        q, logp, grad, adapt = carry
+        key, k_kernel = jax.random.split(key)
+        eps = jnp.exp(adapt.log_eps)
+        q, logp, grad, info = nuts_kernel(
+            logp_fn, q, logp, grad, k_kernel, eps, adapt.inv_mass, max_depth)
+        adapt = _dual_averaging_update(adapt, info["accept_prob"],
+                                       target=target_accept)
+        adapt = jax.lax.cond(in_slow[step_idx],
+                             lambda a: _welford_update(a, q), lambda a: a, adapt)
+
+        def finalize(a):
+            a = _welford_finalize(a)
+            # restart dual averaging around the current step size
+            return a._replace(mu=jnp.log(10.0) + a.log_eps,
+                              h_bar=jnp.zeros_like(a.h_bar),
+                              count=jnp.zeros_like(a.count))
+
+        adapt = jax.lax.cond(window_end[step_idx], finalize, lambda a: a, adapt)
+        return (q, logp, grad, adapt), None
+
+    def sample_step(carry, key):
+        q, logp, grad, eps, inv_mass = carry
+        q, logp, grad, info = nuts_kernel(
+            logp_fn, q, logp, grad, key, eps, inv_mass, max_depth)
+        out = (q, logp, info["accept_prob"], info["diverging"],
+               info["n_leapfrog"])
+        return (q, logp, grad, eps, inv_mass), out
+
+    def one_chain(q0, chain_key):
+        logp0, grad0 = logp_grad(q0)
+        adapt = _adapt_init(initial_step_size, dim, dtype)
+        warm_keys = jax.random.split(chain_key, num_warmup + 1)
+        carry = (q0, logp0, grad0, adapt)
+        (q, logp, grad, adapt), _ = jax.lax.scan(
+            warmup_step, carry,
+            (jnp.arange(num_warmup), warm_keys[:num_warmup]))
+        eps_final = jnp.exp(adapt.log_eps_bar)
+        sample_keys = jax.random.split(warm_keys[-1], num_samples)
+        carry = (q, logp, grad, eps_final, adapt.inv_mass)
+        _, (qs, logps, accepts, divs, n_leaps) = jax.lax.scan(
+            sample_step, carry, sample_keys)
+        return qs, logps, accepts, divs, n_leaps, eps_final, adapt.inv_mass
+
+    chain_keys = jax.random.split(key, n_chains)
+    qs, logps, accepts, divs, n_leaps, eps_final, inv_mass = jax.vmap(one_chain)(
+        initial_position, chain_keys)
+    return NUTSResult(qs, logps, accepts, divs, n_leaps, eps_final, inv_mass)

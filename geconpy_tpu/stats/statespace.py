@@ -1,0 +1,386 @@
+"""DSGE state-space model for Bayesian estimation.
+
+Role parity with ``gEconpy/model/statespace.py`` (DSGEStateSpace:51,
+configure:822, make_symbolic_graph:725, build_statespace_graph:1139) — but
+instead of lowering to a PyMC/pytensor graph, ``configure`` produces ONE
+jittable function
+
+    theta (unconstrained) -> log posterior + diagnostics
+
+whose body is: priors -> parameters -> steady state (analytic or implicit
+Newton) -> jacfwd linearization -> cycle-reduction policy solve (custom_vjp)
+-> Q/Z/H assembly -> doubling-Lyapunov P0 -> lax.scan Kalman log-likelihood.
+Failed draws (steady state, policy, stability) get -inf log posterior — the
+flag-gating that replaces the reference's BK/solver-residual Potential terms
+(``model/statespace.py:1206-1215``).  The function is vmapped over chains by
+the NUTS layer and shard_mapped over devices by the parallel layer.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dists import CompositeDistribution, Distribution, HalfNormal, resolve_priors
+from ..models.model import Model
+from ..models.perturbation import spectral_radius
+from ..ops.cycle_reduction import selection_matrix, cycle_reduction
+from ..ops.kalman import kalman_filter
+from ..ops.lyapunov import solve_discrete_lyapunov
+
+_log = logging.getLogger(__name__)
+
+__all__ = ["DSGEStateSpace", "EstimatedParameter", "LogPostExtras"]
+
+
+@dataclass(frozen=True)
+class EstimatedParameter:
+    name: str
+    prior: Distribution
+    kind: str                     # "model" | "measurement_error"
+    initial: float | None = None
+
+
+class LogPostExtras(NamedTuple):
+    """Per-draw diagnostics recorded alongside the log posterior — the
+    analog of the reference's Deterministic trace nodes
+    (deterministic_norm / stochastic_norm / bk_satisfied / policy success)."""
+
+    logpost: jax.Array
+    loglik: jax.Array
+    logprior: jax.Array
+    ss_success: jax.Array
+    solver_success: jax.Array
+    deterministic_norm: jax.Array
+    stochastic_norm: jax.Array
+    spectral_radius: jax.Array
+
+
+class DSGEStateSpace:
+    """Estimation-ready state-space wrapper around a :class:`Model`."""
+
+    def __init__(self, model: Model):
+        self.model = model
+        self._configured = False
+
+    # ------------------------------------------------------------- configure
+    def configure(
+        self,
+        observed_states: list[str],
+        measurement_error: list[str] | dict | None = None,
+        shock_std: dict | float | None = None,
+        solver: str = "cycle_reduction",
+        loglin_variables: bool | list[str] = True,
+        cycle_reduction_tol: float = 1e-10,
+        cycle_reduction_maxiter: int = 100,
+        me_prior: Distribution | None = None,
+        constant_params: list[str] | None = None,
+    ) -> "DSGEStateSpace":
+        """Choose observables, measurement error, and estimated parameters.
+
+        - Parameters with GCN priors are estimated; everything else is frozen
+          at its calibrated value (``constant_params`` can freeze more).
+        - Shock standard deviations come from GCN shock priors (hyper-
+          parameter links — CompositeDistribution) or fixed via ``shock_std``.
+        - ``measurement_error``: list of observed names (each gets an
+          estimated std with ``me_prior``, default HalfNormal(0.1)) or a dict
+          name -> float (fixed) / Distribution (estimated).
+        """
+        model = self.model
+        mf = model.functions
+        unknown_obs = set(observed_states) - set(mf.variable_names)
+        if unknown_obs:
+            raise ValueError(f"observed_states not in model: {sorted(unknown_obs)}")
+        self.observed_states = list(observed_states)
+        self.solver = solver
+        self._cr_tol = cycle_reduction_tol
+        self._cr_maxiter = cycle_reduction_maxiter
+        self.loglin_variables = loglin_variables
+
+        param_priors, shock_dists = resolve_priors(
+            model.primitives.priors, model.primitives.shock_priors)
+        constant = set(constant_params or ())
+
+        # ---- estimated model parameters (those with priors, minus frozen)
+        self.estimated: list[EstimatedParameter] = []
+        free_names = [p.name for p in mf.free_params]
+        defaults = np.asarray(model.default_theta())
+        self._theta_default = jnp.asarray(defaults)
+        est_idx: list[int] = []
+        for i, name in enumerate(free_names):
+            if name in param_priors and name not in constant:
+                self.estimated.append(EstimatedParameter(
+                    name, param_priors[name], "model", float(defaults[i])))
+                est_idx.append(i)
+        self._est_idx = jnp.asarray(est_idx, dtype=jnp.int32) if est_idx else None
+
+        # ---- shock covariance wiring
+        shock_names = mf.shock_names
+        sigma_source: list[tuple[str, object]] = []  # ("param", idx) | ("fixed", val)
+        for s in shock_names:
+            dist = shock_dists.get(s)
+            if isinstance(dist, CompositeDistribution) and dist.sigma_param:
+                pname = dist.sigma_param
+                if pname not in free_names:
+                    raise ValueError(
+                        f"shock {s!r} references hyper-parameter {pname!r} "
+                        f"which is not a model parameter")
+                sigma_source.append(("param", free_names.index(pname)))
+            elif isinstance(dist, Distribution):
+                sigma_source.append(("fixed", float(dist.std())))
+            else:
+                if isinstance(shock_std, dict):
+                    sigma_source.append(("fixed", float(shock_std.get(s, 0.01))))
+                elif shock_std is not None:
+                    sigma_source.append(("fixed", float(shock_std)))
+                else:
+                    sigma_source.append(("fixed", 0.01))
+        self._sigma_source = sigma_source
+
+        # ---- measurement error
+        me_prior = me_prior or HalfNormal(sigma=0.1)
+        self._me_fixed: dict[int, float] = {}
+        me_estimated: list[tuple[int, EstimatedParameter]] = []
+        if measurement_error:
+            if isinstance(measurement_error, dict):
+                items = measurement_error.items()
+            else:
+                items = [(name, me_prior) for name in measurement_error]
+            for name, spec in items:
+                if name not in self.observed_states:
+                    raise ValueError(
+                        f"measurement error on {name!r} but it is not observed")
+                j = self.observed_states.index(name)
+                if isinstance(spec, (int, float)):
+                    self._me_fixed[j] = float(spec)
+                else:
+                    me_estimated.append((j, EstimatedParameter(
+                        f"sigma_obs_{name}", spec, "measurement_error")))
+        self._me_estimated = me_estimated
+        self.estimated.extend(p for _, p in me_estimated)
+
+        # ---- stochastic singularity check
+        n_me = len(self._me_fixed) + len(me_estimated)
+        if len(self.observed_states) > mf.n_shocks + n_me:
+            raise ValueError(
+                f"stochastic singularity: {len(self.observed_states)} observables "
+                f"but only {mf.n_shocks} shocks + {n_me} measurement errors. "
+                f"Add shocks or measurement error.")
+
+        # ---- selection matrix Z (static)
+        n = mf.n_variables
+        k = len(self.observed_states)
+        Z = np.zeros((k, n))
+        for j, name in enumerate(self.observed_states):
+            Z[j, mf.variable_names.index(name)] = 1.0
+        self._Z = jnp.asarray(Z)
+
+        self._configured = True
+        _log.info("configured: %d observables, %d estimated parameters "
+                  "(%d model + %d meas. error)", k, len(self.estimated),
+                  len(est_idx), len(me_estimated))
+        return self
+
+    # ----------------------------------------------------------------- sizes
+    @property
+    def n_estimated(self) -> int:
+        return len(self.estimated)
+
+    @property
+    def param_labels(self) -> list[str]:
+        return [p.name for p in self.estimated]
+
+    # ------------------------------------------------------------ transforms
+    def unconstrain(self, values: np.ndarray | dict) -> jnp.ndarray:
+        """Constrained parameter values -> unconstrained vector."""
+        if isinstance(values, dict):
+            values = np.array([values[p.name] for p in self.estimated])
+        out = []
+        for p, v in zip(self.estimated, np.asarray(values)):
+            out.append(float(p.prior.to_unconstrained(jnp.asarray(v))))
+        return jnp.asarray(out)
+
+    def constrain(self, u: jnp.ndarray) -> jnp.ndarray:
+        xs = []
+        for i, p in enumerate(self.estimated):
+            x, _ = p.prior.from_unconstrained(u[i])
+            xs.append(x)
+        return jnp.stack(xs)
+
+    def initial_position(self, jitter: float = 0.0, key=None) -> jnp.ndarray:
+        """Unconstrained start: prior mean (or GCN initial value)."""
+        vals = []
+        for p in self.estimated:
+            v = p.initial if p.initial is not None else p.prior.mean()
+            if not np.isfinite(v):
+                v = float(p.prior.ppf(0.5))
+            vals.append(v)
+        u = self.unconstrain(np.asarray(vals))
+        if jitter and key is not None:
+            u = u + jitter * jax.random.normal(key, u.shape)
+        return u
+
+    # ------------------------------------------------------------------ logp
+    def build_logpost(self, data: np.ndarray) -> Callable[[jnp.ndarray], jax.Array]:
+        """data (periods, k_obs), NaN = missing -> logpost(u) function."""
+        extras_fn = self.build_logpost_extras(data)
+
+        def logpost(u):
+            return extras_fn(u).logpost
+
+        return logpost
+
+    def build_logpost_extras(self, data: np.ndarray
+                             ) -> Callable[[jnp.ndarray], LogPostExtras]:
+        if not self._configured:
+            raise RuntimeError("call .configure(...) first")
+        model = self.model
+        mf = model.functions
+        y = jnp.asarray(data)
+        if y.ndim != 2 or y.shape[1] != len(self.observed_states):
+            raise ValueError(
+                f"data must be (periods, {len(self.observed_states)}), got {y.shape}")
+
+        ss_solver = model.ss_solver
+        linearize = model.linearizer(self.loglin_variables)
+        Z = self._Z
+        k = Z.shape[0]
+        n_model_est = len([p for p in self.estimated if p.kind == "model"])
+        est_idx = self._est_idx
+        theta_default = self._theta_default
+        sigma_source = self._sigma_source
+        me_fixed = self._me_fixed
+        me_estimated = self._me_estimated
+        priors = [p.prior for p in self.estimated]
+        cr_tol, cr_maxiter = self._cr_tol, self._cr_maxiter
+        use_backward = self.solver == "backward"
+
+        def extras(u: jnp.ndarray) -> LogPostExtras:
+            dtype = u.dtype
+            # unconstrained -> constrained + prior logpdf with jacobian
+            logprior = jnp.asarray(0.0, dtype)
+            xs = []
+            for i, prior in enumerate(priors):
+                x_i, logjac = prior.from_unconstrained(u[i])
+                logprior = logprior + prior.logpdf(x_i) + logjac
+                xs.append(x_i)
+            x = jnp.stack(xs) if xs else jnp.zeros((0,), dtype)
+
+            theta_free = theta_default.astype(dtype)
+            if est_idx is not None:
+                theta_free = theta_free.at[est_idx].set(x[:n_model_est])
+
+            # steady state -> linearize -> policy
+            ss = ss_solver(theta_free)
+            lin = linearize(ss.x_ss, ss.theta_full)
+            if use_backward:
+                T = -jnp.linalg.solve(lin.B, lin.A)
+                R = -jnp.linalg.solve(lin.B, lin.D)
+                solver_ok = jnp.all(jnp.isfinite(T)) & jnp.all(jnp.isfinite(R))
+                n_iter = jnp.asarray(0)
+            else:
+                cr = cycle_reduction(lin.A, lin.B, lin.C, tol=cr_tol,
+                                     maxiter=cr_maxiter)
+                T = cr.T
+                R = selection_matrix(lin.B, lin.C, T, lin.D)
+                solver_ok = cr.success & jnp.all(jnp.isfinite(R))
+
+            rho = spectral_radius(jax.lax.stop_gradient(T))
+            stable = jnp.isfinite(rho) & (rho < 1.0 - 1e-9)
+
+            det_norm = jnp.max(jnp.abs(lin.A + lin.B @ T + lin.C @ T @ T))
+            stoch_norm = jnp.max(jnp.abs((lin.B + lin.C @ T) @ R + lin.D))
+
+            # shock covariance
+            sigmas = []
+            for kind, val in sigma_source:
+                if kind == "param":
+                    sigmas.append(ss.theta_full[val])
+                else:
+                    sigmas.append(jnp.asarray(val, dtype))
+            Q = jnp.diag(jnp.stack(sigmas) ** 2)
+
+            # measurement error covariance
+            h_diag = jnp.zeros((k,), dtype)
+            for j, v in me_fixed.items():
+                h_diag = h_diag.at[j].set(v**2)
+            for slot, (j, _p) in enumerate(me_estimated):
+                h_diag = h_diag.at[j].set(x[n_model_est + slot] ** 2)
+            H = jnp.diag(h_diag)
+
+            # guard the Lyapunov solve against explosive T
+            T_safe = jnp.where(stable, T, jnp.zeros_like(T))
+            res = kalman_filter(y, T_safe, R, Q, Z.astype(dtype), H)
+            loglik = res.loglik
+
+            ok = ss.success & solver_ok & stable & jnp.isfinite(loglik) \
+                & jnp.isfinite(logprior)
+            logpost = jnp.where(ok, loglik + logprior,
+                                jnp.asarray(-jnp.inf, dtype))
+            return LogPostExtras(
+                logpost=logpost,
+                loglik=loglik,
+                logprior=logprior,
+                ss_success=ss.success,
+                solver_success=solver_ok,
+                deterministic_norm=det_norm,
+                stochastic_norm=stoch_norm,
+                spectral_radius=rho,
+            )
+
+        return extras
+
+    # ------------------------------------------------------- prior utilities
+    def sample_prior(self, key, n_draws: int = 1000) -> dict[str, np.ndarray]:
+        keys = jax.random.split(key, len(self.estimated))
+        return {
+            p.name: np.asarray(p.prior.sample(keys[i], (n_draws,)))
+            for i, p in enumerate(self.estimated)
+        }
+
+    def data_from_prior(self, key, periods: int = 200):
+        """Simulate an artificial dataset from one prior draw.
+
+        Role parity with ``gEconpy/model/statespace.py:1324``.
+        Returns (data (periods, k_obs), draw dict).
+        """
+        k_draw, k_sim, k_obs_noise = jax.random.split(key, 3)
+        draw = {p.name: float(np.asarray(p.prior.sample(k)))
+                for p, k in zip(self.estimated,
+                                jax.random.split(k_draw, len(self.estimated)))}
+        u = self.unconstrain(draw)
+        extras_fn = self.build_logpost_extras(
+            np.zeros((1, len(self.observed_states))))
+        # reuse the pipeline pieces directly for simulation
+        mf = self.model.functions
+        theta_free = np.asarray(self._theta_default).copy()
+        free_names = [p.name for p in mf.free_params]
+        for p in self.estimated:
+            if p.kind == "model":
+                theta_free[free_names.index(p.name)] = draw[p.name]
+        sol = self.model.ss_solver(jnp.asarray(theta_free))
+        lin = self.model.linearizer(self.loglin_variables)(sol.x_ss, sol.theta_full)
+        cr = cycle_reduction(lin.A, lin.B, lin.C)
+        R = selection_matrix(lin.B, lin.C, cr.T, lin.D)
+        sigmas = []
+        for kind, val in self._sigma_source:
+            sigmas.append(float(sol.theta_full[val]) if kind == "param" else val)
+        eps = np.asarray(jax.random.normal(k_sim, (periods, mf.n_shocks))) \
+            * np.asarray(sigmas)
+        from ..analysis.simulate import simulate_linear
+
+        path = np.asarray(simulate_linear(cr.T, R, jnp.asarray(eps)))
+        data = path @ np.asarray(self._Z).T
+        for j, v in self._me_fixed.items():
+            data[:, j] += v * np.asarray(
+                jax.random.normal(k_obs_noise, (periods,)))
+        for slot, (j, p) in enumerate(self._me_estimated):
+            data[:, j] += draw[p.name] * np.asarray(
+                jax.random.normal(jax.random.fold_in(k_obs_noise, slot),
+                                  (periods,)))
+        return data, draw

@@ -1,0 +1,111 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from geconpy_tpu.stats.diagnostics import (
+    effective_sample_size,
+    split_rhat,
+    summarize_chains,
+)
+from geconpy_tpu.stats.nuts import sample_nuts
+
+
+def test_nuts_standard_normal():
+    dim = 4
+
+    def logp(q):
+        return -0.5 * jnp.sum(q**2)
+
+    key = jax.random.PRNGKey(0)
+    init = jax.random.normal(key, (4, dim))
+    res = sample_nuts(logp, init, jax.random.PRNGKey(1),
+                      num_warmup=400, num_samples=600)
+    samples = np.asarray(res.samples)  # (4, 600, 4)
+    assert samples.shape == (4, 600, dim)
+    flat = samples.reshape(-1, dim)
+    np.testing.assert_allclose(flat.mean(axis=0), 0.0, atol=0.1)
+    np.testing.assert_allclose(flat.std(axis=0), 1.0, atol=0.12)
+    assert np.asarray(res.diverging).mean() < 0.02
+    for i in range(dim):
+        assert split_rhat(samples[:, :, i]) < 1.05
+
+
+def test_nuts_correlated_gaussian():
+    """Anisotropic target: mass adaptation must cope with scale 100:1."""
+    scales = jnp.array([10.0, 0.1, 1.0])
+
+    def logp(q):
+        return -0.5 * jnp.sum((q / scales) ** 2)
+
+    init = jnp.ones((4, 3))
+    res = sample_nuts(logp, init, jax.random.PRNGKey(2),
+                      num_warmup=600, num_samples=800)
+    samples = np.asarray(res.samples)
+    flat = samples.reshape(-1, 3)
+    np.testing.assert_allclose(flat.std(axis=0), np.asarray(scales), rtol=0.15)
+    # adapted inverse mass should reflect the marginal variances
+    inv_mass = np.asarray(res.inv_mass)
+    assert inv_mass[:, 0].mean() > 10 * inv_mass[:, 1].mean()
+
+
+def test_nuts_constrained_target_via_transform():
+    """Half-line-constrained target sampled in unconstrained space (the way
+    the statespace layer uses NUTS: prior bijectors map support -> R^d)."""
+
+    def logp_u(u):
+        q = jnp.exp(u)
+        return -0.5 * jnp.sum((q - 1.0) ** 2) + jnp.sum(u)  # + log-jacobian
+
+    init = jnp.zeros((4, 2))
+    res = sample_nuts(logp_u, init, jax.random.PRNGKey(3),
+                      num_warmup=400, num_samples=600)
+    q = np.exp(np.asarray(res.samples).reshape(-1, 2))
+    # truncated normal TN(1, 1, lower=0) has mean 1.288
+    np.testing.assert_allclose(q.mean(axis=0), 1.288, atol=0.15)
+    assert np.asarray(res.diverging).mean() < 0.02
+
+
+def test_nuts_hard_neg_inf_regions_safe():
+    """Hard -inf regions (solver-failure gating) must never crash or let the
+    chain escape the support."""
+
+    def logp(q):
+        val = -0.5 * jnp.sum((q - 1.0) ** 2)
+        return jnp.where(jnp.all(q > 0), val, -jnp.inf)
+
+    init = jnp.full((2, 2), 1.0)
+    res = sample_nuts(logp, init, jax.random.PRNGKey(3),
+                      num_warmup=200, num_samples=300)
+    samples = np.asarray(res.samples)
+    assert np.isfinite(samples).all()
+    assert (samples > 0).all()
+    assert np.isfinite(np.asarray(res.logp)).all()
+
+
+def test_diagnostics_sane():
+    rng = np.random.default_rng(0)
+    good = rng.normal(size=(4, 1000))
+    assert split_rhat(good) < 1.01
+    ess = effective_sample_size(good)
+    assert ess > 2000  # iid draws
+
+    # stuck chain inflates R-hat
+    bad = good.copy()
+    bad[0] += 10.0
+    assert split_rhat(bad) > 1.5
+
+    # strongly autocorrelated chain deflates ESS
+    ar = np.zeros((2, 2000))
+    eps = rng.normal(size=(2, 2000))
+    for t in range(1, 2000):
+        ar[:, t] = 0.95 * ar[:, t - 1] + eps[:, t]
+    assert effective_sample_size(ar) < 600
+
+
+def test_summarize():
+    rng = np.random.default_rng(1)
+    samples = rng.normal(size=(4, 500, 2))
+    df = summarize_chains(samples, names=["a", "b"])
+    assert list(df.index) == ["a", "b"]
+    assert (df["r_hat"] < 1.05).all()
