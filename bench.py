@@ -1,0 +1,68 @@
+"""Headline benchmark: DSGE solve + Kalman log-likelihood throughput.
+
+Measures evaluations/second/chip of the full estimation hot path — steady
+state -> jacfwd linearization -> cycle-reduction policy solve -> Lyapunov P0
+-> 200-period Kalman filter log-likelihood — vmapped over a batch of
+parameter draws (the shape of the NUTS/prior-sweep workload).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "evals/s", "vs_baseline": N}
+
+vs_baseline is measured against the driver's north-star target of
+100 microseconds per draw per chip (BASELINE.md): vs_baseline > 1 beats it.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    import geconpy_tpu
+    from geconpy_tpu.stats.statespace import DSGEStateSpace
+
+    model = geconpy_tpu.model_from_gcn(
+        geconpy_tpu.get_example_gcn("rbc_estimation"), verbose=False)
+    ss = DSGEStateSpace(model)
+    ss.configure(observed_states=["Y"], constant_params=["alpha", "sigma_C"])
+
+    # simulated dataset, 200 periods (host-side, not timed)
+    data, draw = ss.data_from_prior(jax.random.PRNGKey(0), periods=200)
+    logpost = ss.build_logpost(np.asarray(data, dtype=np.float32))
+
+    u0 = ss.unconstrain(draw).astype(jnp.float32)
+    batch_size = 1024
+    key = jax.random.PRNGKey(1)
+    batch = u0[None, :] + 0.05 * jax.random.normal(
+        key, (batch_size, u0.shape[0]), dtype=jnp.float32)
+
+    fn = jax.jit(jax.vmap(logpost))
+    # compile + sanity
+    out = jax.block_until_ready(fn(batch))
+    n_finite = int(jnp.sum(jnp.isfinite(out)))
+    assert n_finite > batch_size // 2, f"only {n_finite} finite logposts"
+
+    # timed runs
+    n_reps = 20
+    start = time.perf_counter()
+    for _ in range(n_reps):
+        out = fn(batch)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - start
+
+    evals_per_sec = n_reps * batch_size / elapsed
+    us_per_draw = 1e6 / evals_per_sec
+    target_us = 100.0
+    print(json.dumps({
+        "metric": "rbc_solve_kalman200_loglik_evals_per_sec_per_chip",
+        "value": round(evals_per_sec, 1),
+        "unit": "evals/s",
+        "vs_baseline": round(target_us / us_per_draw, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

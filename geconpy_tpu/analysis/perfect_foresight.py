@@ -1,0 +1,178 @@
+"""Deterministic (perfect-foresight) nonlinear trajectory solver.
+
+Role parity with ``gEconpy/model/perfect_foresight/`` (solve.py:283
+solve_perfect_foresight, compile.py:282, assemble.py:8) and the
+``solvers/sparse_root`` Newton family it drives.
+
+TPU-first design: the stacked-time system F(y_{t-1}, y_t, y_{t+1}, eps_t) = 0
+for t=1..T (boundary y_0, y_{T+1} fixed at initial/terminal steady states) is
+solved by a damped Newton iteration in which
+
+- the T per-period residuals and the three Jacobian blocks come from ONE
+  ``vmap`` of the lowered model function / its jacfwd (no per-period Python
+  loop),
+- each Newton step solves the block-tridiagonal system with the scan-based
+  block Thomas kernel (O(T n^3), on device, static shapes),
+- Armijo backtracking uses the residual-only fast path (same trick as the
+  reference's cheap merit function, ``solve.py:474-486``).
+
+Supports shock paths, time-varying parameter paths, and permanent shocks
+(different initial/terminal steady states with a piecewise initial guess).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ..models.model import Model
+from ..ops.block_tridiag import solve_block_tridiagonal
+
+__all__ = ["solve_perfect_foresight", "PerfectForesightResult"]
+
+
+class PerfectForesightResult(NamedTuple):
+    trajectory: pd.DataFrame     # (T+2, n) incl. boundary rows
+    success: bool
+    n_iter: int
+    resid_norm: float
+
+
+def _stacked_solver(mf, periods: int, tol: float, maxiter: int,
+                    max_backtracks: int = 10):
+    f = mf.f_resid
+    jac_lag = jax.jacfwd(f, argnums=0)
+    jac_now = jax.jacfwd(f, argnums=1)
+    jac_lead = jax.jacfwd(f, argnums=2)
+    n = mf.n_variables
+
+    def residuals(Y, y0, yT1, eps_path, theta_path):
+        """Y: (T, n) unknowns.  Residual r[t] = F(y_{t-1}, y_t, y_{t+1});
+        SS-symbol references resolve to the terminal steady state."""
+        y_prev = jnp.concatenate([y0[None], Y[:-1]], axis=0)
+        y_next = jnp.concatenate([Y[1:], yT1[None]], axis=0)
+        x_ss_path = jnp.tile(yT1[None], (Y.shape[0], 1))
+        return jax.vmap(f)(y_prev, Y, y_next, eps_path, x_ss_path, theta_path)
+
+    def jacobian_blocks(Y, y0, yT1, eps_path, theta_path):
+        y_prev = jnp.concatenate([y0[None], Y[:-1]], axis=0)
+        y_next = jnp.concatenate([Y[1:], yT1[None]], axis=0)
+        x_ss_path = jnp.tile(yT1[None], (Y.shape[0], 1))
+        A = jax.vmap(jac_lag)(y_prev, Y, y_next, eps_path, x_ss_path, theta_path)
+        B = jax.vmap(jac_now)(y_prev, Y, y_next, eps_path, x_ss_path, theta_path)
+        C = jax.vmap(jac_lead)(y_prev, Y, y_next, eps_path, x_ss_path, theta_path)
+        return A, B, C
+
+    def solve(Y0, y0, yT1, eps_path, theta_path):
+        def norm(r):
+            return jnp.max(jnp.abs(r))
+
+        def cond(state):
+            Y, r, it, done = state
+            return (~done) & (it < maxiter)
+
+        def body(state):
+            Y, r, it, done = state
+            A, B, C = jacobian_blocks(Y, y0, yT1, eps_path, theta_path)
+            # A[0] couples to fixed y0 (not an unknown): zero it; same C[T-1]
+            A = A.at[0].set(jnp.zeros((n, n), A.dtype))
+            C = C.at[-1].set(jnp.zeros((n, n), C.dtype))
+            dY = solve_block_tridiagonal(A, B, C, -r)
+            bad = ~jnp.all(jnp.isfinite(dY))
+            dY = jnp.where(bad, jnp.zeros_like(dY), dY)
+
+            m0 = norm(r)
+
+            def backtrack(carry, _):
+                alpha, best_Y, best_r, accepted = carry
+                Y_try = Y + alpha * dY
+                r_try = residuals(Y_try, y0, yT1, eps_path, theta_path)
+                ok = jnp.all(jnp.isfinite(r_try)) & (norm(r_try) < m0) \
+                    & (~accepted)
+                best_Y = jnp.where(ok, Y_try, best_Y)
+                best_r = jnp.where(ok, r_try, best_r)
+                return (alpha * 0.5, best_Y, best_r, accepted | ok), None
+
+            init = (jnp.asarray(1.0, Y.dtype), Y, r, jnp.asarray(False))
+            (alpha, Y_new, r_new, accepted), _ = jax.lax.scan(
+                backtrack, init, None, length=max_backtracks)
+            converged = norm(r_new) < tol
+            return (Y_new, r_new, it + 1, converged | (~accepted) | bad)
+
+        r0 = residuals(Y0, y0, yT1, eps_path, theta_path)
+        state = (Y0, r0, jnp.asarray(0), jnp.asarray(norm(r0) < tol))
+        Y, r, it, _ = jax.lax.while_loop(cond, body, state)
+        final_norm = norm(r)
+        success = jnp.isfinite(final_norm) & (final_norm < tol)
+        return Y, success, it, final_norm
+
+    return solve, residuals
+
+
+def solve_perfect_foresight(
+    model: Model,
+    periods: int = 100,
+    shocks: dict[str, np.ndarray] | None = None,
+    initial_params: dict | None = None,
+    terminal_params: dict | None = None,
+    tol: float = 1e-8,
+    maxiter: int = 100,
+    initial_guess: str = "terminal",   # "terminal" | "linear" | "initial"
+) -> PerfectForesightResult:
+    """Solve the nonlinear deterministic trajectory.
+
+    - Temporary shocks: ``shocks={"epsilon_A": array}`` (padded/truncated to
+      ``periods``); the economy starts and ends at the same steady state.
+    - Permanent change: pass ``terminal_params`` differing from
+      ``initial_params`` — boundaries use the two steady states and the
+      terminal parameterization governs dynamics (announced-at-t0 change).
+    """
+    mf = model.functions
+    n = mf.n_variables
+    k = mf.n_shocks
+
+    theta0 = model.default_theta(**(initial_params or {}))
+    theta1 = model.default_theta(**{**(initial_params or {}),
+                                    **(terminal_params or {})})
+    ss0 = model.ss_solver(theta0)
+    ss1 = model.ss_solver(theta1)
+    if not (bool(ss0.success) and bool(ss1.success)):
+        raise RuntimeError("boundary steady state(s) failed to solve")
+
+    eps_path = np.zeros((periods, k))
+    if shocks:
+        for name, path in shocks.items():
+            if name not in mf.shock_names:
+                raise KeyError(f"unknown shock {name!r}; shocks are "
+                               f"{mf.shock_names}")
+            j = mf.shock_names.index(name)
+            path = np.asarray(path, dtype=float).ravel()
+            m = min(len(path), periods)
+            eps_path[:m, j] = path[:m]
+
+    theta_path = jnp.tile(ss1.theta_full[None, :], (periods, 1))
+
+    x0_ss = ss0.x_ss
+    xT_ss = ss1.x_ss
+    if initial_guess == "terminal":
+        Y0 = jnp.tile(xT_ss[None, :], (periods, 1))
+    elif initial_guess == "initial":
+        Y0 = jnp.tile(x0_ss[None, :], (periods, 1))
+    else:  # linear interpolation between the two steady states
+        w = jnp.linspace(0.0, 1.0, periods)[:, None]
+        Y0 = (1 - w) * x0_ss[None, :] + w * xT_ss[None, :]
+
+    solve, _ = _stacked_solver(mf, periods, tol, maxiter)
+    Y, success, n_iter, resid_norm = jax.jit(solve)(
+        Y0, x0_ss, xT_ss, jnp.asarray(eps_path), theta_path)
+
+    rows = np.vstack([np.asarray(x0_ss)[None], np.asarray(Y),
+                      np.asarray(xT_ss)[None]])
+    df = pd.DataFrame(rows, columns=mf.variable_names,
+                      index=pd.RangeIndex(-1, periods + 1, name="time"))
+    return PerfectForesightResult(df, bool(success), int(n_iter),
+                                  float(resid_norm))

@@ -42,7 +42,7 @@ class ModelFunctions:
 
     # f_params: free (p,) -> full theta (P,) excluding calibrated
     f_params: CompiledFunction
-    # f_resid(y_m1, y, y_p1, eps, theta_full) -> (n,)
+    # f_resid(y_m1, y, y_p1, eps, x_ss, theta_full) -> (n,)
     f_resid: CompiledFunction
     # f_ss_resid(x_ss, theta_full) -> (n,) — model equations at the steady state
     f_ss_resid: CompiledFunction
@@ -121,16 +121,19 @@ def build_model_functions(primitives: ModelPrimitives) -> ModelFunctions:
         docstring="free parameters -> (free ++ deterministic) parameter vector",
     )
 
-    # ---- dynamic residual
+    # ---- dynamic residual.  Equations may reference steady-state symbols
+    # (e.g. Taylor rules written around R[ss]); those enter as an extra
+    # packed input evaluated once per draw.
     lags = [v.set_t(-1) for v in variables]
     now = [v.set_t(0) for v in variables]
     leads = [v.set_t(1) for v in variables]
+    ss_syms_dyn = [v.to_ss() for v in variables]
     f_resid = lower_to_jax(
         primitives.equations,
         [("y_m1", lags), ("y", now), ("y_p1", leads), ("eps", shocks),
-         ("theta", theta_symbols)],
+         ("x_ss", ss_syms_dyn), ("theta", theta_symbols)],
         name="f_resid",
-        docstring="dynamic residuals F(y_{t-1}, y_t, y_{t+1}, eps_t; theta)",
+        docstring="dynamic residuals F(y_{t-1}, y_t, y_{t+1}, eps_t; x_ss, theta)",
     )
 
     # ---- steady-state residual over all model equations

@@ -84,7 +84,15 @@ class Model:
     def ss_solver(self):
         return make_steady_state_solver(self.functions)
 
-    def linearizer(self, loglin_variables: bool | list[str] = True):
+    @property
+    def default_loglin(self) -> bool:
+        """Linear models (GCN ``options { linear = TRUE; }``) are already in
+        deviations; log-linearization scaling is skipped for them."""
+        return not self.primitives.is_linear
+
+    def linearizer(self, loglin_variables="auto"):
+        if loglin_variables == "auto":
+            loglin_variables = self.default_loglin
         key = ("linearizer", loglin_variables if isinstance(loglin_variables, bool)
                else tuple(sorted(loglin_variables)))
         if key not in self._solvers:
@@ -170,7 +178,7 @@ class Model:
         return result
 
     # ---------------------------------------------------------- linearization
-    def linearize_model(self, loglin_variables: bool | list[str] = True,
+    def linearize_model(self, loglin_variables="auto",
                         steady_state: SteadyStateResults | None = None,
                         **updates) -> dict[str, pd.DataFrame]:
         """A/B/C/D of  A ŷ_{t-1} + B ŷ_t + C ŷ_{t+1} + D ε_t = 0 at the SS."""
@@ -190,7 +198,7 @@ class Model:
     def solve_model(
         self,
         solver: Literal["cycle_reduction", "gensys", "backward"] | None = None,
-        loglin_variables: bool | list[str] = True,
+        loglin_variables="auto",
         tol: float = 1e-12,
         maxiter: int = 100,
         on_failure: Literal["error", "ignore"] = "error",

@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.precision import highest_precision
+
 from ..codegen.model_functions import ModelFunctions
 
 __all__ = ["make_linearizer", "LinearizationResult", "solve_policy_backward",
@@ -72,10 +74,12 @@ def make_linearizer(
     jac_now = jax.jacfwd(f, argnums=1)
     jac_lead = jax.jacfwd(f, argnums=2)
     jac_eps = jax.jacfwd(f, argnums=3)
+    # note: SS-symbol references (argnum 4) are constants of the
+    # linearization, not dynamic variables — no Jacobian w.r.t. them
 
     def linearize(x_ss: jax.Array, theta_full: jax.Array) -> LinearizationResult:
         eps0 = jnp.zeros((mf.n_shocks,), dtype=x_ss.dtype)
-        args = (x_ss, x_ss, x_ss, eps0, theta_full)
+        args = (x_ss, x_ss, x_ss, eps0, x_ss, theta_full)
         A = jac_lag(*args)
         B = jac_now(*args)
         C = jac_lead(*args)
@@ -92,6 +96,7 @@ def make_linearizer(
     return linearize
 
 
+@highest_precision
 def solve_policy_backward(A, B, D):
     """Policy for purely backward-looking models (no t+1 terms):
     T = -B⁻¹A, R = -B⁻¹D.
@@ -104,6 +109,7 @@ def solve_policy_backward(A, B, D):
     return T, R, success
 
 
+@highest_precision
 def spectral_radius(T, n_squarings: int = 10):
     """Largest |eigenvalue| of T via the Gelfand formula
     ρ(T) = lim_k ||T^k||^{1/k}, computed by repeated squaring with

@@ -165,6 +165,7 @@ def _validate_parameters(
     param_dict: dict,
     calib_params: list[sp.Symbol],
     ss_solution_dict: SymbolDictionary,
+    shock_priors: dict | None = None,
     on_unused: Literal["error", "warn", "ignore"] = "error",
 ) -> None:
     collector = ErrorCollector()
@@ -175,6 +176,12 @@ def _validate_parameters(
     for expr in deterministic_dict.values():
         if isinstance(expr, sp.Basic):
             used |= {a.name for a in expr.free_symbols if not isinstance(a, TimeAwareSymbol)}
+    # hyper-parameters referenced inside shock distributions count as used
+    # (e.g. eps[] ~ Normal(mu=0, sigma=sigma_A))
+    for dist_ast in (shock_priors or {}).values():
+        for arg in dist_ast.args:
+            if isinstance(arg.value, A.Parameter):
+                used.add(arg.value.name)
 
     defined = {p.name for p in param_dict}
     defined |= {p.name for p in deterministic_dict}
@@ -285,7 +292,7 @@ def load_gcn(
 
     _validate_parameters(
         equations, list(calib_resid.values()), deterministic_dict, param_dict,
-        calib_params, ss_solution_dict, on_unused_parameters)
+        calib_params, ss_solution_dict, shock_priors, on_unused_parameters)
 
     if len(equations) != len(variables):
         raise GCNSemanticError(

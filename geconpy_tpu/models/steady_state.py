@@ -19,6 +19,7 @@ import numpy as np
 
 from ..codegen.model_functions import ModelFunctions
 from ..ops.implicit import implicit_root
+from ..ops.tolerances import success_tol
 from ..ops.newton import RootResult, levenberg_marquardt_solve, newton_solve
 
 __all__ = ["SteadyStateSolution", "make_steady_state_solver"]
@@ -87,8 +88,8 @@ def make_steady_state_solver(
             theta_full = mf.f_params(theta_free)
             x = assemble_x(theta_full, jnp.zeros((0,), theta_full.dtype))
             norm = full_residual_norm(x, theta_full)
-            success = jnp.isfinite(norm) & (norm < jnp.asarray(
-                max(tol, 1e-6), theta_full.dtype))
+            success = jnp.isfinite(norm) & (
+                norm < success_tol(theta_full.dtype, max(tol, 1e-6)))
             return SteadyStateSolution(x, theta_full, success, norm,
                                        jnp.asarray(0))
 
@@ -155,7 +156,7 @@ def make_steady_state_solver(
         x = assemble_x(theta_full, unknown_vals)
         norm = full_residual_norm(x, theta_full)
         success = res.success & jnp.isfinite(norm) & (
-            norm < jnp.asarray(max(tol * 100, 1e-6), dtype))
+            norm < success_tol(dtype, max(tol * 100, 1e-6)))
         return SteadyStateSolution(x, theta_full, success, norm, res.n_iter)
 
     return solve_numeric

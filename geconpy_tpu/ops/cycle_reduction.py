@@ -30,6 +30,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .precision import highest_precision
+
 __all__ = ["cycle_reduction", "selection_matrix", "solve_policy_cycle_reduction",
            "CycleReductionResult"]
 
@@ -41,10 +43,15 @@ class CycleReductionResult(NamedTuple):
     resid_norm: jax.Array
 
 
+@highest_precision
 def _cycle_reduction_raw(A, B, C, tol: float, maxiter: int):
     """Core iteration.  Returns (T, converged, n_iter)."""
+    import numpy as np
+
     n = A.shape[0]
     dtype = A.dtype
+    # convergence tolerance can't beat machine epsilon (float32 on TPU)
+    tol = max(tol, 10 * float(np.finfo(np.dtype(dtype)).eps))
 
     def cond(state):
         A0, A1, A2, Ahat, it, done = state
@@ -72,6 +79,7 @@ def _cycle_reduction_raw(A, B, C, tol: float, maxiter: int):
     return T, n_iter
 
 
+@highest_precision
 def _policy_residual_norm(A, B, C, T):
     R = A + B @ T + C @ T @ T
     return jnp.max(jnp.abs(R))
@@ -87,6 +95,7 @@ def _cr_fwd(A, B, C, tol, maxiter):
     return (T, n_iter), (B, C, T)
 
 
+@highest_precision
 def _cr_bwd(tol, maxiter, residuals, cotangents):
     """Implicit adjoint.  With M = B + C T, N = C, solve the adjoint
     generalized Sylvester equation  Mᵀ W + Nᵀ W Tᵀ = T_bar  in vectorized
@@ -122,11 +131,15 @@ def cycle_reduction(A, B, C, tol: float = 1e-12, maxiter: int = 100
     iteration diverged or the residual check fails.
     """
     T, n_iter = _cycle_reduction_T(A, B, C, tol, maxiter)
+    from .tolerances import success_tol
+
     resid = _policy_residual_norm(A, B, C, jax.lax.stop_gradient(T))
-    success = jnp.isfinite(resid) & (resid < jnp.asarray(max(tol * 1e3, 1e-6), A.dtype))
+    success = jnp.isfinite(resid) & (
+        resid < success_tol(A.dtype, max(tol * 1e3, 1e-6)))
     return CycleReductionResult(T, success, n_iter, resid)
 
 
+@highest_precision
 def selection_matrix(B, C, T, D):
     """Shock-impact matrix  R = -(B + C T)⁻¹ D.
 

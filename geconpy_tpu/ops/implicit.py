@@ -19,6 +19,8 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
+from .precision import highest_precision
+
 __all__ = ["implicit_root"]
 
 
@@ -49,6 +51,7 @@ def implicit_root(f: Callable, solver: Callable):
         x_star, aux = solver(x0, theta)
         return (x_star, aux), (x_star, theta)
 
+    @highest_precision
     def bwd(residuals, cotangents):
         x_star, theta = residuals
         x_bar, _aux_bar = cotangents

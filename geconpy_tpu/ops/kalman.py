@@ -26,6 +26,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .precision import highest_precision
+
 __all__ = ["KalmanFilterResult", "KalmanSmootherResult", "kalman_filter",
            "kalman_smoother", "kalman_loglik"]
 
@@ -86,6 +88,7 @@ def _filter_step(T, RQR, Z, d, H, carry, y_t):
     return (x_filt, P_filt), (ll_t, x_filt, P_filt, x_pred, P_pred)
 
 
+@highest_precision
 def kalman_filter(y, T, R, Q, Z, H, d=None, x0=None, P0=None
                   ) -> KalmanFilterResult:
     """Run the filter over ``y`` of shape (periods, k_obs); NaN = missing.
@@ -136,6 +139,7 @@ def kalman_loglik(y, T, R, Q, Z, H, d=None, x0=None, P0=None):
     return jnp.where(jnp.isfinite(ll), ll, -jnp.inf)
 
 
+@highest_precision
 def kalman_smoother(y, T, R, Q, Z, H, d=None, x0=None, P0=None
                     ) -> KalmanSmootherResult:
     """Rauch-Tung-Striebel smoother (backward lax.scan over filter output)."""

@@ -18,10 +18,18 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from .precision import highest_precision
+
 __all__ = ["solve_discrete_lyapunov"]
 
 
+@highest_precision
 def _doubling(T, Q, tol: float, maxiter: int):
+    import numpy as np
+
+    # convergence tolerance can't beat machine epsilon (float32 on TPU)
+    tol = max(tol, 10 * float(np.finfo(np.dtype(T.dtype)).eps))
+
     def cond(state):
         A, P, it, done = state
         return (~done) & (it < maxiter)

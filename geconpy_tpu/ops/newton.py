@@ -16,6 +16,8 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .precision import highest_precision
+
 __all__ = ["RootResult", "newton_solve", "levenberg_marquardt_solve", "root"]
 
 
@@ -31,6 +33,7 @@ def _inf_norm(r):
     return jnp.max(jnp.abs(r))
 
 
+@highest_precision
 def newton_solve(
     f: Callable,
     x0: jax.Array,
@@ -46,6 +49,9 @@ def newton_solve(
     ``jax.jacfwd``.  A fixed-bound backtracking loop (``fori_loop`` with
     masking) keeps control flow XLA-compatible.
     """
+    import numpy as np
+
+    tol = max(tol, 100 * float(np.finfo(np.dtype(x0.dtype)).eps))
     jac = jax.jacfwd(f)
 
     def merit(x):
@@ -99,6 +105,7 @@ def newton_solve(
     return RootResult(x, success, norm, it, nfev)
 
 
+@highest_precision
 def levenberg_marquardt_solve(
     f: Callable,
     x0: jax.Array,
@@ -116,6 +123,9 @@ def levenberg_marquardt_solve(
     adaptation.  Same device-side control-flow guarantees as
     :func:`newton_solve`.
     """
+    import numpy as np
+
+    tol = max(tol, 100 * float(np.finfo(np.dtype(x0.dtype)).eps))
     jac = jax.jacfwd(f)
 
     def cond(state):

@@ -1,0 +1,103 @@
+"""Bayesian estimation front-end: NUTS over the DSGE state-space posterior.
+
+Replaces the reference's PyMC sampling entry point (``pm.sample`` with
+per-chain processes, ``gEconpy`` README estimation flow): chains are vmapped
+on device; multi-device runs shard chain blocks over a mesh (see
+``geconpy_tpu.parallel``).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from .diagnostics import summarize_chains
+from .nuts import NUTSResult, sample_nuts
+from .statespace import DSGEStateSpace
+
+_log = logging.getLogger(__name__)
+
+__all__ = ["fit", "PosteriorResult"]
+
+
+@dataclass
+class PosteriorResult:
+    """Posterior draws in constrained space, with sampler diagnostics."""
+
+    samples: np.ndarray            # (chains, draws, n_params) constrained
+    unconstrained: np.ndarray      # (chains, draws, n_params)
+    logp: np.ndarray               # (chains, draws)
+    param_names: list[str]
+    diverging: np.ndarray
+    accept_prob: np.ndarray
+    step_size: np.ndarray
+    summary_: pd.DataFrame | None = None
+
+    def summary(self) -> pd.DataFrame:
+        if self.summary_ is None:
+            self.summary_ = summarize_chains(self.samples, self.param_names)
+        return self.summary_
+
+    def to_frame(self) -> pd.DataFrame:
+        c, n, d = self.samples.shape
+        index = pd.MultiIndex.from_product([range(c), range(n)],
+                                           names=["chain", "draw"])
+        return pd.DataFrame(self.samples.reshape(-1, d), index=index,
+                            columns=self.param_names)
+
+    def posterior_mean(self) -> dict[str, float]:
+        flat = self.samples.reshape(-1, self.samples.shape[-1])
+        return dict(zip(self.param_names, flat.mean(axis=0)))
+
+
+def fit(
+    ss_mod: DSGEStateSpace,
+    data: np.ndarray,
+    num_chains: int = 4,
+    num_warmup: int = 500,
+    num_samples: int = 500,
+    seed: int = 0,
+    max_depth: int = 8,
+    target_accept: float = 0.8,
+    init_jitter: float = 0.5,
+) -> PosteriorResult:
+    """Sample the posterior with vmapped device-side NUTS chains."""
+    logpost = ss_mod.build_logpost(data)
+
+    key = jax.random.PRNGKey(seed)
+    k_init, k_sample = jax.random.split(key)
+    init_keys = jax.random.split(k_init, num_chains)
+    inits = jnp.stack([
+        ss_mod.initial_position(jitter=init_jitter, key=init_keys[i])
+        for i in range(num_chains)
+    ])
+
+    _log.info("NUTS: %d chains x (%d warmup + %d samples), %d parameters",
+              num_chains, num_warmup, num_samples, ss_mod.n_estimated)
+    res: NUTSResult = sample_nuts(
+        logpost, inits, k_sample, num_warmup=num_warmup,
+        num_samples=num_samples, max_depth=max_depth,
+        target_accept=target_accept)
+
+    constrain_all = jax.jit(jax.vmap(jax.vmap(ss_mod.constrain)))
+    constrained = np.asarray(constrain_all(res.samples))
+
+    div_rate = float(np.asarray(res.diverging).mean())
+    if div_rate > 0.05:
+        _log.warning("%.1f%% divergent transitions — treat results with care",
+                     100 * div_rate)
+
+    return PosteriorResult(
+        samples=constrained,
+        unconstrained=np.asarray(res.samples),
+        logp=np.asarray(res.logp),
+        param_names=ss_mod.param_labels,
+        diverging=np.asarray(res.diverging),
+        accept_prob=np.asarray(res.accept_prob),
+        step_size=np.asarray(res.step_size),
+    )

@@ -1,0 +1,187 @@
+"""Perturbation-solution diagnostics and prior solvability sweeps.
+
+Role parity with ``gEconpy/model/statistics/perturbation_diagnostics.py``
+(summarize_perturbation_solution:164, check_bk_condition:193,
+eigenvalue_sensitivity:244, solvability_check:362,
+prior_solvability_check:526).  The reference parallelizes sweeps with a
+``multiprocessing.Pool`` + cloudpickle; here each draw's whole pipeline
+(steady state -> linearize -> policy -> norms) is one vmapped device
+function, optionally sharded over a mesh — thousands of draws per dispatch,
+failure-stage attribution via flags.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ..dists import Distribution, resolve_priors
+from ..models.model import Model
+from ..models.perturbation import spectral_radius
+from ..ops.cycle_reduction import cycle_reduction, selection_matrix
+from ..ops.tolerances import success_tol
+from .sampling import sample_from_priors, sample_from_priors_qmc, \
+    sample_uniform_from_priors
+
+__all__ = ["solvability_check", "prior_solvability_check",
+           "summarize_perturbation_solution", "eigenvalue_sensitivity"]
+
+_STAGES = ["steady_state", "linearization", "policy_solve", "stability",
+           "residual_norms"]
+
+
+def _make_per_draw(model: Model, loglin_variables=True,
+                   norm_tol: float = 1e-6):
+    linearize = model.linearizer(loglin_variables)
+    ss_solver = model.ss_solver
+
+    def per_draw(theta):
+        sol = ss_solver(theta)
+        lin = linearize(sol.x_ss, sol.theta_full)
+        lin_ok = jnp.all(jnp.isfinite(lin.A)) & jnp.all(jnp.isfinite(lin.B)) \
+            & jnp.all(jnp.isfinite(lin.C)) & jnp.all(jnp.isfinite(lin.D))
+        cr = cycle_reduction(lin.A, lin.B, lin.C)
+        R = selection_matrix(lin.B, lin.C, cr.T, lin.D)
+        rho = spectral_radius(cr.T)
+        stable = jnp.isfinite(rho) & (rho < 1.0 + 1e-6)
+        det_norm = jnp.max(jnp.abs(lin.A + lin.B @ cr.T + lin.C @ cr.T @ cr.T))
+        stoch_norm = jnp.max(jnp.abs((lin.B + lin.C @ cr.T) @ R + lin.D))
+        tol = success_tol(theta.dtype, norm_tol)
+        norms_ok = jnp.isfinite(det_norm) & (det_norm < tol) \
+            & jnp.isfinite(stoch_norm) & (stoch_norm < tol)
+        return {
+            "steady_state": sol.success,
+            "linearization": lin_ok,
+            "policy_solve": cr.success,
+            "stability": stable,
+            "residual_norms": norms_ok,
+            "spectral_radius": rho,
+            "deterministic_norm": det_norm,
+            "stochastic_norm": stoch_norm,
+        }
+
+    return per_draw
+
+
+def solvability_check(model: Model, param_draws: dict[str, np.ndarray],
+                      loglin_variables=True, mesh=None) -> pd.DataFrame:
+    """Run the solve pipeline for every draw; attribute failures to stages.
+
+    ``param_draws`` maps parameter names to 1-D arrays of equal length;
+    unspecified parameters stay at calibration.  Returns a DataFrame with one
+    row per draw: the draw values, per-stage success flags, and norms.
+    """
+    names = list(param_draws)
+    n_draws = len(next(iter(param_draws.values())))
+    free_names = [p.name for p in model.functions.free_params]
+    unknown = set(names) - set(free_names)
+    if unknown:
+        raise ValueError(f"unknown parameters in draws: {sorted(unknown)}")
+
+    theta0 = np.asarray(model.default_theta())
+    thetas = np.tile(theta0, (n_draws, 1))
+    for name, values in param_draws.items():
+        thetas[:, free_names.index(name)] = np.asarray(values)
+    thetas = jnp.asarray(thetas)
+
+    per_draw = _make_per_draw(model, loglin_variables)
+    if mesh is not None:
+        from ..parallel.mesh import sharded_prior_sweep
+
+        out = sharded_prior_sweep(per_draw, thetas, mesh)
+    else:
+        out = jax.jit(jax.vmap(per_draw))(thetas)
+
+    df = pd.DataFrame({name: np.asarray(v) for name, v in param_draws.items()})
+    for stage in _STAGES:
+        df[stage] = np.asarray(out[stage])
+    df["success"] = df[_STAGES].all(axis=1)
+    # failure-stage attribution: first stage that failed
+    stage_arr = df[_STAGES].to_numpy()
+    first_fail = np.where(df["success"], -1, np.argmin(stage_arr, axis=1))
+    df["failure_stage"] = [
+        "none" if i < 0 else _STAGES[i] for i in first_fail
+    ]
+    df["spectral_radius"] = np.asarray(out["spectral_radius"])
+    df["deterministic_norm"] = np.asarray(out["deterministic_norm"])
+    df["stochastic_norm"] = np.asarray(out["stochastic_norm"])
+    return df
+
+
+def prior_solvability_check(model: Model, n_samples: int = 1000,
+                            how: str = "mc", seed: int = 0, mesh=None,
+                            param_subset: list[str] | None = None
+                            ) -> pd.DataFrame:
+    """Sweep the GCN priors and report where the model is solvable.
+
+    ``how``: 'mc' (prior draws), 'qmc' (Sobol through the prior inverse CDF),
+    'uniform'/'lhs'/'sobol'/'halton' (space-filling over prior HDI boxes).
+    """
+    param_priors, _ = resolve_priors(model.primitives.priors,
+                                     model.primitives.shock_priors)
+    free_names = {p.name for p in model.functions.free_params}
+    priors = {k: v for k, v in param_priors.items() if k in free_names}
+    if param_subset:
+        priors = {k: v for k, v in priors.items() if k in param_subset}
+    if not priors:
+        raise ValueError("model has no priors on free parameters to sweep")
+
+    if how == "mc":
+        draws = sample_from_priors(priors, n_samples, seed)
+    elif how == "qmc":
+        draws = sample_from_priors_qmc(priors, n_samples, seed=seed)
+    else:
+        draws = sample_uniform_from_priors(priors, n_samples, method=how,
+                                           seed=seed)
+    return solvability_check(model, draws, mesh=mesh)
+
+
+def summarize_perturbation_solution(solution) -> pd.DataFrame:
+    """gEcon-style P/Q/R/S table from a PolicySolution."""
+    from ..models.perturbation import gecon_matrices
+
+    P, Q, R_out, S, state_idx, jump_idx = gecon_matrices(
+        solution.T.to_numpy(), solution.R.to_numpy(), solution.T.columns)
+    names = list(solution.T.columns)
+    states = [names[i] for i in state_idx]
+    jumps = [names[i] for i in jump_idx]
+    shock_names = list(solution.R.columns)
+    blocks = {
+        "P": pd.DataFrame(P, index=states, columns=states),
+        "Q": pd.DataFrame(Q, index=states, columns=shock_names),
+        "R": pd.DataFrame(R_out, index=jumps, columns=states),
+        "S": pd.DataFrame(S, index=jumps, columns=shock_names),
+    }
+    out = pd.concat(blocks, axis=0)
+    out.attrs["states"] = states
+    out.attrs["jumps"] = jumps
+    return out
+
+
+def eigenvalue_sensitivity(model: Model, **updates) -> pd.DataFrame:
+    """d(spectral radius of T)/d(parameter) via the solver adjoints.
+
+    Role parity with the reference's autodiff eigenvalue sensitivity
+    (``perturbation_diagnostics.py:244``) — here the differentiable quantity
+    is the policy spectral radius (XLA-TPU has no differentiable
+    nonsymmetric eig; the full per-eigenvalue table remains host-side via
+    ``Model.check_bk_condition``).
+    """
+    linearize = model.linearizer(True)
+
+    def rho_of_theta(theta):
+        sol = model.ss_solver(theta)
+        lin = linearize(sol.x_ss, sol.theta_full)
+        cr = cycle_reduction(lin.A, lin.B, lin.C)
+        # differentiable spectral-radius proxy (Gelfand via matrix powers)
+        M = cr.T
+        for _ in range(5):
+            M = M @ M
+        return jnp.linalg.norm(M, ord="fro") ** (1.0 / 32.0)
+
+    theta = model.default_theta(**updates)
+    grad = jax.jit(jax.grad(rho_of_theta))(theta)
+    names = [p.name for p in model.functions.free_params]
+    return pd.DataFrame({"d_rho_d_param": np.asarray(grad)}, index=names)

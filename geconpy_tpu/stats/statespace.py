@@ -31,6 +31,7 @@ from ..models.model import Model
 from ..models.perturbation import spectral_radius
 from ..ops.cycle_reduction import selection_matrix, cycle_reduction
 from ..ops.kalman import kalman_filter
+from ..ops.precision import highest_precision
 from ..ops.lyapunov import solve_discrete_lyapunov
 
 _log = logging.getLogger(__name__)
@@ -75,7 +76,7 @@ class DSGEStateSpace:
         measurement_error: list[str] | dict | None = None,
         shock_std: dict | float | None = None,
         solver: str = "cycle_reduction",
-        loglin_variables: bool | list[str] = True,
+        loglin_variables="auto",
         cycle_reduction_tol: float = 1e-10,
         cycle_reduction_maxiter: int = 100,
         me_prior: Distribution | None = None,
@@ -260,6 +261,7 @@ class DSGEStateSpace:
         cr_tol, cr_maxiter = self._cr_tol, self._cr_maxiter
         use_backward = self.solver == "backward"
 
+        @highest_precision
         def extras(u: jnp.ndarray) -> LogPostExtras:
             dtype = u.dtype
             # unconstrained -> constrained + prior logpdf with jacobian

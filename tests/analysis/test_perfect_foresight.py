@@ -1,0 +1,99 @@
+import pathlib
+
+import numpy as np
+import pytest
+
+from geconpy_tpu import model_from_gcn
+from geconpy_tpu.analysis.perfect_foresight import solve_perfect_foresight
+from geconpy_tpu.ops.block_tridiag import solve_block_tridiagonal
+
+import jax.numpy as jnp
+
+DATA = pathlib.Path(__file__).parents[2] / "geconpy_tpu" / "data"
+
+
+def test_block_tridiag_matches_dense():
+    rng = np.random.default_rng(0)
+    T, n = 12, 4
+    A = rng.normal(size=(T, n, n)) * 0.3
+    B = rng.normal(size=(T, n, n)) + 3 * np.eye(n)
+    C = rng.normal(size=(T, n, n)) * 0.3
+    d = rng.normal(size=(T, n))
+
+    x = np.asarray(solve_block_tridiagonal(
+        jnp.asarray(A), jnp.asarray(B), jnp.asarray(C), jnp.asarray(d)))
+
+    # dense assembly oracle
+    M = np.zeros((T * n, T * n))
+    for t in range(T):
+        M[t * n:(t + 1) * n, t * n:(t + 1) * n] = B[t]
+        if t > 0:
+            M[t * n:(t + 1) * n, (t - 1) * n:t * n] = A[t]
+        if t < T - 1:
+            M[t * n:(t + 1) * n, (t + 1) * n:(t + 2) * n] = C[t]
+    x_dense = np.linalg.solve(M, d.reshape(-1)).reshape(T, n)
+    np.testing.assert_allclose(x, x_dense, atol=1e-9)
+
+
+@pytest.fixture(scope="module")
+def rbc():
+    return model_from_gcn(str(DATA / "rbc.gcn"))
+
+
+def test_temporary_shock_trajectory(rbc):
+    shock = np.zeros(5)
+    shock[0] = 0.05
+    res = solve_perfect_foresight(rbc, periods=120,
+                                  shocks={"epsilon_A": shock})
+    assert res.success, res
+    assert res.resid_norm < 1e-8
+    traj = res.trajectory
+    ss = rbc.steady_state(verbose=False).to_string()
+
+    # starts at SS, impact raises technology and output
+    np.testing.assert_allclose(traj.loc[-1, "Y"], ss["Y_ss"], rtol=1e-8)
+    assert traj.loc[0, "A"] > 1.0
+    assert traj.loc[0, "Y"] > ss["Y_ss"]
+    # converges back to the same SS
+    np.testing.assert_allclose(traj.loc[120, "Y"], ss["Y_ss"], rtol=1e-8)
+    # slow convergence (capital eigenvalue ~0.97): most of the impact
+    # deviation is gone by t=100 (the last periods bend toward the imposed
+    # terminal condition — standard truncation behavior)
+    dev0 = abs(traj.loc[0, "Y"] - ss["Y_ss"])
+    dev100 = abs(traj.loc[100, "Y"] - ss["Y_ss"])
+    assert dev100 < 0.25 * dev0
+
+
+def test_perfect_foresight_matches_linear_irf_for_small_shock(rbc):
+    """For a tiny shock the nonlinear path ~ linearized IRF."""
+    from geconpy_tpu import impulse_response_function
+
+    size = 1e-4
+    res = solve_perfect_foresight(rbc, periods=80,
+                                  shocks={"epsilon_A": np.array([size])})
+    sol = rbc.solve_model(verbose=False)
+    irf = impulse_response_function(sol, periods=20, shock_size=size)
+    ss = rbc.steady_state(verbose=False).to_string()
+
+    for t in range(10):
+        nonlinear_dev = np.log(res.trajectory.loc[t, "Y"] / ss["Y_ss"])
+        linear_dev = irf.loc[("epsilon_A", t), "Y"]
+        np.testing.assert_allclose(nonlinear_dev, linear_dev, rtol=2e-2,
+                                   atol=1e-9)
+
+
+def test_permanent_shock(rbc):
+    """Permanent productivity-relevant parameter change: path converges to
+    the NEW steady state."""
+    res = solve_perfect_foresight(
+        rbc, periods=300, terminal_params={"delta": 0.025},
+        initial_guess="linear")
+    assert res.success
+    ss_new = rbc.steady_state(verbose=False, delta=0.025).to_string()
+    traj = res.trajectory
+    np.testing.assert_allclose(traj.loc[300, "K"], ss_new["K_ss"], rtol=1e-8)
+    np.testing.assert_allclose(traj.loc[280, "K"], ss_new["K_ss"], rtol=1e-3)
+    # capital decumulates toward the lower new steady state
+    ss_old = rbc.steady_state(verbose=False).to_string()
+    assert ss_new["K_ss"] < ss_old["K_ss"]
+    assert traj.loc[5, "K"] < ss_old["K_ss"]

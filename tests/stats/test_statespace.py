@@ -1,0 +1,113 @@
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from geconpy_tpu import model_from_gcn
+from geconpy_tpu.stats.statespace import DSGEStateSpace
+
+DATA = pathlib.Path(__file__).parents[2] / "geconpy_tpu" / "data"
+
+
+@pytest.fixture(scope="module")
+def ss_mod():
+    model = model_from_gcn(str(DATA / "rbc_estimation.gcn"))
+    ss = DSGEStateSpace(model)
+    ss.configure(observed_states=["Y", "C"],
+                 measurement_error=["Y", "C"])
+    return ss
+
+
+@pytest.fixture(scope="module")
+def dataset(ss_mod):
+    data, draw = ss_mod.data_from_prior(jax.random.PRNGKey(7), periods=150)
+    return data, draw
+
+
+def test_configure(ss_mod):
+    labels = ss_mod.param_labels
+    # model params with priors + 2 measurement errors
+    assert set(labels) == {"alpha", "rho_A", "sigma_A", "sigma_C",
+                           "sigma_obs_Y", "sigma_obs_C"}
+    assert ss_mod.n_estimated == 6
+
+
+def test_stochastic_singularity_check():
+    model = model_from_gcn(str(DATA / "rbc_estimation.gcn"))
+    ss = DSGEStateSpace(model)
+    with pytest.raises(ValueError, match="singular"):
+        ss.configure(observed_states=["Y", "C"])  # 2 obs, 1 shock, no ME
+
+
+def test_bad_observable_rejected(ss_mod):
+    model = ss_mod.model
+    with pytest.raises(ValueError, match="observed_states"):
+        DSGEStateSpace(model).configure(observed_states=["NOPE"])
+
+
+def test_logpost_finite_at_truth(ss_mod, dataset):
+    data, draw = dataset
+    extras_fn = jax.jit(ss_mod.build_logpost_extras(data))
+    u = ss_mod.unconstrain(draw)
+    ex = extras_fn(u)
+    assert np.isfinite(float(ex.logpost)), ex
+    assert bool(ex.ss_success) and bool(ex.solver_success)
+    assert float(ex.deterministic_norm) < 1e-6
+    assert float(ex.spectral_radius) < 1.0
+
+
+def test_logpost_gradient_finite(ss_mod, dataset):
+    data, draw = dataset
+    logpost = ss_mod.build_logpost(data)
+    u = ss_mod.unconstrain(draw)
+    g = jax.jit(jax.grad(logpost))(u)
+    assert np.all(np.isfinite(np.asarray(g))), g
+
+
+def test_logpost_gradient_matches_fd(ss_mod, dataset):
+    data, draw = dataset
+    logpost = jax.jit(ss_mod.build_logpost(data))
+    u = ss_mod.unconstrain(draw)
+    g = np.asarray(jax.grad(logpost)(u))
+    eps = 1e-6
+    for i in range(len(u)):
+        up = u.at[i].add(eps)
+        um = u.at[i].add(-eps)
+        fd = (float(logpost(up)) - float(logpost(um))) / (2 * eps)
+        assert abs(g[i] - fd) < 1e-3 * max(1.0, abs(fd)), \
+            f"param {ss_mod.param_labels[i]}: {g[i]} vs {fd}"
+
+
+def test_logpost_vmap(ss_mod, dataset):
+    data, draw = dataset
+    logpost = ss_mod.build_logpost(data)
+    u0 = ss_mod.unconstrain(draw)
+    batch = jnp.stack([u0, u0 * 1.01, u0 * 0.99, u0 + 0.3])
+    lls = jax.jit(jax.vmap(logpost))(batch)
+    assert lls.shape == (4,)
+    assert np.isfinite(np.asarray(lls)).all()
+
+
+def test_likelihood_peaks_near_truth(ss_mod, dataset):
+    """The loglik at the data-generating parameters beats distorted ones."""
+    data, draw = dataset
+    extras_fn = jax.jit(ss_mod.build_logpost_extras(data))
+    u_true = ss_mod.unconstrain(draw)
+    ll_true = float(extras_fn(u_true).loglik)
+    rng = np.random.default_rng(0)
+    worse = 0
+    for _ in range(8):
+        u_off = u_true + jnp.asarray(rng.normal(size=u_true.shape))
+        ll_off = float(extras_fn(u_off).loglik)
+        if ll_off < ll_true:
+            worse += 1
+    assert worse >= 6  # most random distortions reduce the likelihood
+
+
+def test_prior_sampling(ss_mod):
+    draws = ss_mod.sample_prior(jax.random.PRNGKey(0), n_draws=500)
+    assert set(draws) == set(ss_mod.param_labels)
+    assert 0.2 < draws["alpha"].mean() < 0.6
+    assert (draws["sigma_A"] > 0).all()
