@@ -1,0 +1,104 @@
+import numpy as np
+import pytest
+
+from geconpy_tpu import get_example_gcn, model_from_gcn, impulse_response_function
+
+
+@pytest.fixture(scope="module")
+def nk3():
+    return model_from_gcn(get_example_gcn("nk_3eq"), verbose=False)
+
+
+@pytest.fixture(scope="module")
+def nk_full():
+    return model_from_gcn(get_example_gcn("nk_full"), verbose=False)
+
+
+def test_linear_model_zero_ss(nk3):
+    assert nk3.primitives.is_linear
+    assert not nk3.default_loglin
+    ss = nk3.steady_state(verbose=False)
+    assert ss.success
+    assert all(abs(v) < 1e-12 for v in ss.to_string().values())
+
+
+def test_nk3_solution_textbook_signs(nk3):
+    sol = nk3.solve_model(verbose=False)
+    assert sol.success
+    # contractionary monetary shock lowers inflation and the output gap
+    assert sol.R.loc["pi", "epsilon_v"] < 0
+    assert sol.R.loc["x", "epsilon_v"] < 0
+    assert sol.R.loc["i", "epsilon_v"] > 0
+    # natural-rate (demand) shock raises the gap and inflation
+    assert sol.R.loc["x", "epsilon_rn"] > 0
+    assert sol.R.loc["pi", "epsilon_rn"] > 0
+
+
+def test_nk3_gensys_agrees(nk3):
+    cr = nk3.solve_model(solver="cycle_reduction", tol=1e-14, verbose=False)
+    gs = nk3.solve_model(solver="gensys", verbose=False)
+    assert gs.eu == (1, 1)
+    np.testing.assert_allclose(cr.T.to_numpy(), gs.T.to_numpy(), atol=1e-8)
+    np.testing.assert_allclose(cr.R.to_numpy(), gs.R.to_numpy(), atol=1e-8)
+
+
+def test_nk3_taylor_principle_violation(nk3):
+    """phi_pi < 1 (passive policy) violates the Taylor principle ->
+    indeterminacy, which gensys must detect."""
+    sol = nk3.solve_model(solver="gensys", phi_pi=0.5, phi_x=0.0,
+                          on_failure="ignore", verbose=False)
+    assert sol.eu[1] != 1
+
+
+def test_nk_full_builds_and_solves(nk_full):
+    assert nk_full.n_variables == 16
+    ss = nk_full.steady_state(verbose=False)
+    assert ss.success and ss.resid_norm < 1e-12
+    s = ss.to_string()
+    # markup steady state: mc = (eps-1)/eps
+    np.testing.assert_allclose(s["mc_ss"], 5.0 / 6.0, rtol=1e-12)
+    np.testing.assert_allclose(s["R_ss"], 1 / 0.99, rtol=1e-12)
+
+    sol = nk_full.solve_model(verbose=False)
+    assert sol.success
+    assert sol.deterministic_norm < 1e-10
+    assert sol.spectral_radius < 1.0
+
+
+def test_nk_full_gensys_agrees(nk_full):
+    cr = nk_full.solve_model(solver="cycle_reduction", tol=1e-14, verbose=False)
+    gs = nk_full.solve_model(solver="gensys", verbose=False)
+    assert gs.eu == (1, 1)
+    np.testing.assert_allclose(cr.T.to_numpy(), gs.T.to_numpy(), atol=1e-8)
+    np.testing.assert_allclose(cr.R.to_numpy(), gs.R.to_numpy(), atol=1e-8)
+
+
+def test_nk_full_irf_signs(nk_full):
+    sol = nk_full.solve_model(verbose=False)
+    irf = impulse_response_function(sol, periods=20, shock_size=0.01)
+    # contractionary monetary shock: output, inflation fall; rate rises
+    assert irf.loc[("epsilon_R", 0), "Y"] < 0
+    assert irf.loc[("epsilon_R", 0), "pi"] < 0
+    assert irf.loc[("epsilon_R", 0), "R"] > 0
+    # technology shock: output up, inflation down (supply)
+    assert irf.loc[("epsilon_A", 0), "Y"] > 0
+    assert irf.loc[("epsilon_A", 0), "pi"] < 0
+
+
+def test_nk_full_estimation_wiring(nk_full):
+    """Statespace configures and the logpost is finite at calibration."""
+    import jax
+
+    from geconpy_tpu.stats.statespace import DSGEStateSpace
+
+    ss = DSGEStateSpace(nk_full)
+    ss.configure(
+        observed_states=["Y", "pi", "R"],
+        constant_params=["sigma_C", "sigma_L", "h_C", "gamma_I", "alpha",
+                         "psi_p", "rho_pref", "sigma_pref"],
+    )
+    data, draw = ss.data_from_prior(jax.random.PRNGKey(0), periods=80)
+    extras = jax.jit(ss.build_logpost_extras(data))(ss.unconstrain(draw))
+    assert np.isfinite(float(extras.logpost)), extras
+    g = jax.jit(jax.grad(ss.build_logpost(data)))(ss.unconstrain(draw))
+    assert np.all(np.isfinite(np.asarray(g)))
