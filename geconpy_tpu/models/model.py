@@ -39,7 +39,7 @@ _log = logging.getLogger(__name__)
 
 __all__ = ["Model", "PolicySolution", "model_from_gcn"]
 
-VALID_SOLVERS = ("cycle_reduction", "gensys", "backward")
+VALID_SOLVERS = ("cycle_reduction", "gensys", "gensys_host", "backward")
 
 
 @dataclass
@@ -119,6 +119,23 @@ class Model:
     @property
     def n_shocks(self) -> int:
         return self.functions.n_shocks
+
+    @cached_property
+    def lead_var_idx(self):
+        """Indices of variables appearing at t+1 (structural)."""
+        import numpy as np
+
+        inc = structural_incidence(self.primitives.equations,
+                                   self.functions.variables)
+        return np.flatnonzero(inc["lead"].any(axis=0))
+
+    @cached_property
+    def gensys_solver(self):
+        """Jittable on-device gensys (disk-split) for this model's layout."""
+        from ..ops.gensys_jax import make_gensys_solver
+
+        return make_gensys_solver(self.n_variables, self.lead_var_idx,
+                                  self.n_shocks)
 
     @cached_property
     def is_backward_looking(self) -> bool:
@@ -226,6 +243,14 @@ class Model:
 
         eu = None
         if solver == "gensys":
+            res = jax.jit(self.gensys_solver)(A, B, C, D)
+            T, R = res.T, res.R
+            eu = (1 if bool(res.existence) else 0,
+                  1 if bool(res.uniqueness) else -1)
+            success = bool(res.success)
+            if verbose:
+                _log.info(interpret_eu(eu))
+        elif solver == "gensys_host":
             T_np, R_np, eu = solve_policy_gensys(
                 np.asarray(A), np.asarray(B), np.asarray(C), np.asarray(D))
             success = eu[0] == 1 and eu[1] == 1 and np.all(np.isfinite(T_np))

@@ -260,6 +260,8 @@ class DSGEStateSpace:
         priors = [p.prior for p in self.estimated]
         cr_tol, cr_maxiter = self._cr_tol, self._cr_maxiter
         use_backward = self.solver == "backward"
+        use_gensys = self.solver == "gensys"
+        gensys_solver = model.gensys_solver if use_gensys else None
 
         @highest_precision
         def extras(u: jnp.ndarray) -> LogPostExtras:
@@ -284,7 +286,10 @@ class DSGEStateSpace:
                 T = -jnp.linalg.solve(lin.B, lin.A)
                 R = -jnp.linalg.solve(lin.B, lin.D)
                 solver_ok = jnp.all(jnp.isfinite(T)) & jnp.all(jnp.isfinite(R))
-                n_iter = jnp.asarray(0)
+            elif use_gensys:
+                gres = gensys_solver(lin.A, lin.B, lin.C, lin.D)
+                T, R = gres.T, gres.R
+                solver_ok = gres.success
             else:
                 cr = cycle_reduction(lin.A, lin.B, lin.C, tol=cr_tol,
                                      maxiter=cr_maxiter)
