@@ -223,6 +223,7 @@ def load_gcn(
     ss_solution_dict = _extract_ss_block(model_ast, converter)
 
     blocks: dict[str, Block] = {}
+    from . import special_blocks  # noqa: F401  (registers specialized types)
     from .registry import dispatch_block
 
     for ast_block in model_ast.blocks:

@@ -149,8 +149,12 @@ def kalman_smoother(y, T, R, Q, Z, H, d=None, x0=None, P0=None
     def backward(carry, inputs):
         x_next_smooth, P_next_smooth = carry
         x_filt, P_filt, x_pred_next, P_pred_next = inputs
-        # J = P_filt Tᵀ P_pred_next⁻¹, via solve on the symmetric P_pred_next
-        J = jnp.linalg.solve(P_pred_next.T, (P_filt @ T.T).T).T
+        # J = P_filt Tᵀ P_pred_next⁺.  P_pred can be rank-deficient (fewer
+        # shocks than states), so use a regularized symmetric solve.
+        n_ = P_pred_next.shape[0]
+        eps = 1e-9 * (jnp.trace(P_pred_next) / n_ + 1e-30)
+        P_reg = P_pred_next + eps * jnp.eye(n_, dtype=P_pred_next.dtype)
+        J = jnp.linalg.solve(P_reg.T, (P_filt @ T.T).T).T
         x_s = x_filt + J @ (x_next_smooth - x_pred_next)
         P_s = P_filt + J @ (P_next_smooth - P_pred_next) @ J.T
         P_s = 0.5 * (P_s + P_s.T)

@@ -1,0 +1,199 @@
+"""Posterior analysis: batched device-side sweeps over MCMC draws.
+
+Role parity with the reference's posterior tooling
+(``gEconpy/model/statespace.py``: sample_autocorrelation_matrices:1217,
+data_from_prior:1324, prepare_mixed_frequency_data:1432; plus the xarray IRF
+post-processing).  Each per-draw quantity (IRF, ACF, smoothed states, FEVD,
+diagnostics) is one vmapped device function over the posterior sample.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ..ops.kalman import kalman_smoother
+from ..ops.lyapunov import solve_discrete_lyapunov
+from .covariance import autocorrelation as _acf
+from .covariance import fevd as _fevd
+from .estimation import PosteriorResult
+from .statespace import DSGEStateSpace
+
+__all__ = [
+    "posterior_irfs",
+    "posterior_autocorrelation",
+    "posterior_fevd",
+    "posterior_smoothed_states",
+    "posterior_diagnostics",
+    "prepare_mixed_frequency_data",
+]
+
+
+def _flat_draws(result: PosteriorResult, max_draws: int | None, seed: int = 0):
+    u = result.unconstrained.reshape(-1, result.unconstrained.shape[-1])
+    if max_draws is not None and len(u) > max_draws:
+        idx = np.random.default_rng(seed).choice(len(u), max_draws,
+                                                 replace=False)
+        u = u[idx]
+    return jnp.asarray(u)
+
+
+def posterior_irfs(ss_mod: DSGEStateSpace, result: PosteriorResult,
+                   periods: int = 40, max_draws: int | None = 500,
+                   quantiles=(0.05, 0.5, 0.95)) -> pd.DataFrame:
+    """IRF posterior bands: per-draw solve + scan, vmapped over draws.
+
+    Returns a DataFrame indexed by (shock, variable, time) with one column
+    per quantile plus the mean.
+    """
+    solve_draw = ss_mod.build_solution_fn()
+    mf = ss_mod.model.functions
+    n_shocks = mf.n_shocks
+
+    def one_draw(u):
+        sol = solve_draw(u)
+        T, R, Q = sol["T"], sol["R"], sol["Q"]
+        sd = jnp.sqrt(jnp.diagonal(Q))
+
+        def one_shock(j_onehot):
+            def step(x, _):
+                return T @ x, x
+
+            x0 = R @ j_onehot
+            _, path = jax.lax.scan(step, x0, None, length=periods)
+            return path
+
+        impulses = jnp.eye(n_shocks, dtype=T.dtype) * sd[:, None]
+        return jax.vmap(one_shock)(impulses)   # (n_shocks, periods, n)
+
+    us = _flat_draws(result, max_draws)
+    irfs = np.asarray(jax.jit(jax.vmap(one_draw))(us))  # (draws, s, t, n)
+
+    index = pd.MultiIndex.from_product(
+        [mf.shock_names, mf.variable_names, range(periods)],
+        names=["shock", "variable", "time"])
+    flat = irfs.transpose(1, 3, 2, 0).reshape(len(index), len(us))
+    out = pd.DataFrame(index=index)
+    out["mean"] = flat.mean(axis=1)
+    for q in quantiles:
+        out[f"q{q}"] = np.quantile(flat, q, axis=1)
+    return out
+
+
+def posterior_autocorrelation(ss_mod: DSGEStateSpace, result: PosteriorResult,
+                              n_lags: int = 10, max_draws: int | None = 500,
+                              quantiles=(0.05, 0.5, 0.95)) -> pd.DataFrame:
+    """Posterior ACF bands per variable (diagonal of the ACF matrices)."""
+    solve_draw = ss_mod.build_solution_fn()
+    mf = ss_mod.model.functions
+
+    def one_draw(u):
+        sol = solve_draw(u)
+        acf = _acf(sol["T"], sol["R"], sol["Q"], n_lags)
+        return jnp.diagonal(acf, axis1=1, axis2=2)   # (n_lags, n)
+
+    us = _flat_draws(result, max_draws)
+    acfs = np.asarray(jax.jit(jax.vmap(one_draw))(us))  # (draws, lags, n)
+    index = pd.MultiIndex.from_product(
+        [range(n_lags), mf.variable_names], names=["lag", "variable"])
+    flat = acfs.transpose(1, 2, 0).reshape(len(index), len(us))
+    out = pd.DataFrame(index=index)
+    out["mean"] = flat.mean(axis=1)
+    for q in quantiles:
+        out[f"q{q}"] = np.quantile(flat, q, axis=1)
+    return out
+
+
+def posterior_fevd(ss_mod: DSGEStateSpace, result: PosteriorResult,
+                   horizon: int = 40, max_draws: int | None = 500
+                   ) -> pd.DataFrame:
+    """Posterior-mean forecast-error variance decomposition at ``horizon``."""
+    solve_draw = ss_mod.build_solution_fn()
+    mf = ss_mod.model.functions
+
+    def one_draw(u):
+        sol = solve_draw(u)
+        return _fevd(sol["T"], sol["R"], sol["Q"], horizon)[-1]   # (n, k)
+
+    us = _flat_draws(result, max_draws)
+    shares = np.asarray(jax.jit(jax.vmap(one_draw))(us)).mean(axis=0)
+    return pd.DataFrame(shares, index=mf.variable_names,
+                        columns=mf.shock_names)
+
+
+def posterior_smoothed_states(ss_mod: DSGEStateSpace, result: PosteriorResult,
+                              data: np.ndarray, max_draws: int | None = 200,
+                              quantiles=(0.05, 0.5, 0.95)) -> pd.DataFrame:
+    """Smoothed state paths over posterior draws (vmapped RTS smoother)."""
+    solve_draw = ss_mod.build_solution_fn()
+    mf = ss_mod.model.functions
+    y = jnp.asarray(data)
+    n = mf.n_variables
+
+    def one_draw(u):
+        sol = solve_draw(u)
+        sm = kalman_smoother(y, sol["T_aug"], sol["R_aug"], sol["Q"],
+                             sol["Z"], sol["H"], d=sol["d"])
+        return sm.smoothed_mean[:, :n]   # current block of the lag-augmented state
+
+    us = _flat_draws(result, max_draws)
+    paths = np.asarray(jax.jit(jax.vmap(one_draw))(us))  # (draws, t, n)
+    index = pd.MultiIndex.from_product(
+        [range(paths.shape[1]), mf.variable_names], names=["time", "variable"])
+    flat = paths.transpose(1, 2, 0).reshape(len(index), len(us))
+    out = pd.DataFrame(index=index)
+    out["mean"] = flat.mean(axis=1)
+    for q in quantiles:
+        out[f"q{q}"] = np.quantile(flat, q, axis=1)
+    return out
+
+
+def posterior_diagnostics(ss_mod: DSGEStateSpace, result: PosteriorResult,
+                          max_draws: int | None = 1000) -> pd.DataFrame:
+    """Per-draw solver diagnostics over the posterior — the analog of the
+    reference's Deterministic trace nodes (deterministic_norm,
+    stochastic_norm, bk/solver success)."""
+    solve_draw = ss_mod.build_solution_fn()
+
+    def one_draw(u):
+        sol = solve_draw(u)
+        return (sol["ss_success"], sol["solver_success"], sol["stable"],
+                sol["deterministic_norm"], sol["stochastic_norm"],
+                sol["spectral_radius"])
+
+    us = _flat_draws(result, max_draws)
+    ss_ok, sv_ok, stable, det, stoch, rho = jax.jit(jax.vmap(one_draw))(us)
+    return pd.DataFrame({
+        "ss_success": np.asarray(ss_ok),
+        "solver_success": np.asarray(sv_ok),
+        "stable": np.asarray(stable),
+        "deterministic_norm": np.asarray(det),
+        "stochastic_norm": np.asarray(stoch),
+        "spectral_radius": np.asarray(rho),
+    })
+
+
+def prepare_mixed_frequency_data(low_freq: pd.DataFrame | np.ndarray,
+                                 period: int, offset: int | None = None,
+                                 n_high_freq: int | None = None) -> np.ndarray:
+    """Expand low-frequency observations to a NaN-padded high-frequency grid.
+
+    Role parity with ``gEconpy/model/statespace.py:1432``: a series observed
+    every ``period`` sub-periods is placed at sub-period ``offset`` (default
+    ``period - 1``, end-of-period observation) with NaN elsewhere, ready for
+    the missing-data Kalman filter (typically paired with an ``aggregate``
+    observation equation).
+    """
+    arr = np.asarray(low_freq, dtype=float)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n_low, k = arr.shape
+    offset = period - 1 if offset is None else offset
+    total = n_high_freq if n_high_freq is not None else n_low * period
+    out = np.full((total, k), np.nan)
+    rows = offset + period * np.arange(n_low)
+    rows = rows[rows < total]
+    out[rows] = arr[:len(rows)]
+    return out

