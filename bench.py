@@ -20,44 +20,53 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main():
+def _measure(model_name: str, configure_kwargs: dict, batch_size: int = 1024,
+             periods: int = 200, n_reps: int = 20) -> float:
     import geconpy_tpu
     from geconpy_tpu.stats.statespace import DSGEStateSpace
 
     model = geconpy_tpu.model_from_gcn(
-        geconpy_tpu.get_example_gcn("rbc_estimation"), verbose=False)
+        geconpy_tpu.get_example_gcn(model_name), verbose=False)
     ss = DSGEStateSpace(model)
-    ss.configure(observed_states=["Y"], constant_params=["alpha", "sigma_C"])
+    ss.configure(**configure_kwargs)
 
-    # simulated dataset, 200 periods (host-side, not timed)
-    data, draw = ss.data_from_prior(jax.random.PRNGKey(0), periods=200)
+    # simulated dataset (host-side, not timed)
+    data, draw = ss.data_from_prior(jax.random.PRNGKey(0), periods=periods)
     logpost = ss.build_logpost(np.asarray(data, dtype=np.float32))
 
     u0 = ss.unconstrain(draw).astype(jnp.float32)
-    batch_size = 1024
     key = jax.random.PRNGKey(1)
     batch = u0[None, :] + 0.05 * jax.random.normal(
         key, (batch_size, u0.shape[0]), dtype=jnp.float32)
 
     fn = jax.jit(jax.vmap(logpost))
-    # compile + sanity
-    out = jax.block_until_ready(fn(batch))
+    out = jax.block_until_ready(fn(batch))  # compile + sanity
     n_finite = int(jnp.sum(jnp.isfinite(out)))
-    assert n_finite > batch_size // 2, f"only {n_finite} finite logposts"
+    assert n_finite > batch_size // 2, \
+        f"{model_name}: only {n_finite} finite logposts"
 
-    # timed runs
-    n_reps = 20
     start = time.perf_counter()
     for _ in range(n_reps):
         out = fn(batch)
     jax.block_until_ready(out)
     elapsed = time.perf_counter() - start
+    return n_reps * batch_size / elapsed
 
-    evals_per_sec = n_reps * batch_size / elapsed
+
+def main():
+    # headline: medium NK (16 variables, 3 observables, Rotemberg NKPC,
+    # habit + investment adjustment) — the closest bundled model to the
+    # SW-2007 benchmark scale
+    evals_per_sec = _measure(
+        "nk_full",
+        dict(observed_states=["Y", "pi", "R"],
+             constant_params=["sigma_C", "sigma_L", "h_C", "gamma_I",
+                              "alpha", "psi_p", "rho_pref", "sigma_pref"]),
+    )
     us_per_draw = 1e6 / evals_per_sec
     target_us = 100.0
     print(json.dumps({
-        "metric": "rbc_solve_kalman200_loglik_evals_per_sec_per_chip",
+        "metric": "nk16_solve_kalman200_loglik_evals_per_sec_per_chip",
         "value": round(evals_per_sec, 1),
         "unit": "evals/s",
         "vs_baseline": round(target_us / us_per_draw, 3),

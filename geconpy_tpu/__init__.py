@@ -8,11 +8,20 @@ estimation, with vmap over parameter draws and shard_map over device meshes.
 
 __version__ = "0.1.0"
 
+from .analysis.dynare import make_mod_file
+from .analysis.perfect_foresight import PerfectForesightResult, solve_perfect_foresight
 from .analysis.simulate import impulse_response_function, simulate
 from .lang import parse_gcn, print_model
 from .models.model import Model, PolicySolution, model_from_gcn
 from .models.primitives import ModelPrimitives, load_gcn, load_gcn_file
 from .stats.covariance import autocovariance_matrix, stationary_covariance_matrix
+from .stats.estimation import PosteriorResult, fit
+from .stats.perturbation_diagnostics import (
+    prior_solvability_check,
+    solvability_check,
+    summarize_perturbation_solution,
+)
+from .stats.statespace import DSGEStateSpace
 from .symbolic import SteadyStateResults, SymbolDictionary, TimeAwareSymbol
 
 
@@ -35,6 +44,9 @@ __all__ = [
     "SteadyStateResults",
     "SymbolDictionary",
     "TimeAwareSymbol",
+    "DSGEStateSpace",
+    "PosteriorResult",
+    "PerfectForesightResult",
     "model_from_gcn",
     "load_gcn",
     "load_gcn_file",
@@ -44,5 +56,11 @@ __all__ = [
     "impulse_response_function",
     "stationary_covariance_matrix",
     "autocovariance_matrix",
+    "solve_perfect_foresight",
+    "make_mod_file",
+    "fit",
+    "solvability_check",
+    "prior_solvability_check",
+    "summarize_perturbation_solution",
     "get_example_gcn",
 ]

@@ -292,6 +292,11 @@ class Block:
                     out.add(atom)
         return sorted(out, key=lambda s: s.name)
 
+    def _repr_html_(self) -> str:
+        from ..utils.reporting import block_to_html
+
+        return block_to_html(self)
+
     def __repr__(self):
         n_eq = len(self.system_equations) if self._solved else "unsolved"
         return (f"Block({self.name!r}, controls={[c.base_name for c in self.controls]}, "

@@ -170,9 +170,26 @@ class Model:
         return SymbolDictionary(dict(zip(syms, full.tolist())))
 
     # ----------------------------------------------------------- steady state
-    def steady_state(self, verbose: bool = True, **updates) -> SteadyStateResults:
+    def steady_state(self, verbose: bool = True,
+                     fixed_values: dict[str, float] | None = None,
+                     **updates) -> SteadyStateResults:
+        """Solve the steady state.  ``fixed_values`` pins chosen variables
+        (role parity with gEconpy/model/model.py:1097): the remaining system
+        is solved and the FULL residual validated, so an inconsistent pin
+        fails loudly."""
         theta = self.default_theta(**updates)
-        sol = jax.jit(self.ss_solver)(theta)
+        if fixed_values:
+            from .steady_state import make_fixed_value_solver
+
+            names = sorted(fixed_values)
+            key = ("fixed_ss", tuple(names))
+            if key not in self._solvers:
+                self._solvers[key] = make_fixed_value_solver(
+                    self.functions, names)
+            vals = jnp.asarray([float(fixed_values[k]) for k in names])
+            sol = jax.jit(self._solvers[key])(theta, vals)
+        else:
+            sol = jax.jit(self.ss_solver)(theta)
         success = bool(sol.success)
         if verbose:
             if success:
@@ -333,6 +350,20 @@ class Model:
         df.attrs["n_unstable"] = n_unstable
         df.attrs["n_forward"] = n_forward
         return df
+
+    def build_report(self) -> str:
+        """Human-readable summary of the compiled model
+        (role parity with gEconpy/model/build.py:748)."""
+        from ..utils.reporting import build_report
+
+        report = build_report(self)
+        print(report)
+        return report
+
+    def _repr_html_(self) -> str:
+        from ..utils.reporting import model_to_html
+
+        return model_to_html(self)
 
     def __repr__(self):
         return (f"Model(variables={self.n_variables}, shocks={self.n_shocks}, "

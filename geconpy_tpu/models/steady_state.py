@@ -22,7 +22,8 @@ from ..ops.implicit import implicit_root
 from ..ops.tolerances import success_tol
 from ..ops.newton import RootResult, levenberg_marquardt_solve, newton_solve
 
-__all__ = ["SteadyStateSolution", "make_steady_state_solver"]
+__all__ = ["SteadyStateSolution", "make_steady_state_solver",
+           "make_fixed_value_solver"]
 
 
 class SteadyStateSolution(NamedTuple):
@@ -160,3 +161,118 @@ def make_steady_state_solver(
         return SteadyStateSolution(x, theta_full, success, norm, res.n_iter)
 
     return solve_numeric
+
+
+def make_fixed_value_solver(mf: ModelFunctions, fixed_names: list[str],
+                            method: str = "hybrid", tol: float = 1e-8,
+                            maxiter: int = 500, default_guess: float = 0.8):
+    """Steady-state solver with user-pinned values.
+
+    Role parity with the reference's partial user-fixed steady state
+    (``gEconpy/model/model.py:1097`` _build_resid_with_fixed_values and
+    ``:1136`` _validate_fixed_value_equations): variables named in
+    ``fixed_names`` are held at caller-supplied values, the remaining
+    unknowns are solved, and the final success flag validates the FULL
+    system — an inconsistent fixed value surfaces as failure, not silence.
+
+    Returns ``solve(theta_free, fixed_values: (len(fixed_names),))``.
+    """
+    import sympy  # noqa: F401  (host-side only)
+
+    from ..symbolic import TimeAwareSymbol
+
+    n = mf.n_variables
+    names = mf.variable_names
+    unknown_fixed = set(fixed_names) - set(names)
+    if unknown_fixed:
+        raise KeyError(f"fixed_values name(s) not in model: {sorted(unknown_fixed)}")
+
+    fixed_idx = np.asarray([names.index(f) for f in fixed_names], dtype=np.int64)
+    known_set = set(mf.known_idx.tolist()) | set(fixed_idx.tolist())
+    unknown_idx = np.asarray([i for i in range(n) if i not in known_set],
+                             dtype=np.int64)
+    n_calib = len(mf.calibrated_params)
+
+    # equations still containing an unknown (structural, host-side).  The
+    # lowered f_ss_resid has no symbolic info, so reuse the incidence baked
+    # into eq_unknown_idx is not enough — recompute from variable presence in
+    # each generated equation via the compiled source (cheap text scan of the
+    # generated reads would be fragile; instead evaluate the Jacobian sparsity
+    # numerically at a generic point).
+    import jax as _jax
+
+    probe_x = jnp.linspace(0.7, 1.3, n)
+    probe_theta = jnp.linspace(0.4, 0.6, mf.n_params)
+    J = _jax.jacfwd(mf.f_ss_resid)(probe_x, probe_theta)
+    J = np.asarray(J)
+    incidence = np.abs(J) > 1e-14
+    eq_has_unknown = incidence[:, unknown_idx].any(axis=1) if len(unknown_idx) \
+        else np.zeros(incidence.shape[0], dtype=bool)
+    eq_sel = np.flatnonzero(eq_has_unknown)
+    n_u = len(unknown_idx) + n_calib
+    if len(eq_sel) < len(unknown_idx):
+        raise ValueError(
+            f"fixing {fixed_names} leaves {len(unknown_idx)} unknowns but only "
+            f"{len(eq_sel)} equations contain them")
+    # keep the system square: take the first len(unknown_idx) such equations
+    eq_sel = eq_sel[:len(unknown_idx)]
+
+    known_ana_idx = jnp.asarray(mf.known_idx, dtype=jnp.int32)
+    fixed_idx_j = jnp.asarray(fixed_idx, dtype=jnp.int32)
+    unknown_idx_j = jnp.asarray(unknown_idx, dtype=jnp.int32)
+    eq_sel_j = jnp.asarray(eq_sel, dtype=jnp.int32)
+
+    from ..ops.bijectors import make_bijector
+
+    assumption_dicts = [dict(mf.variables[i].assumptions0) for i in unknown_idx]
+    assumption_dicts += [dict(p.assumptions0) for p in mf.calibrated_params]
+    bijector = make_bijector(assumption_dicts)
+
+    def assemble(theta_fd, fixed_vals, u):
+        vals = bijector.forward(u)
+        unknown_vals = vals[:len(unknown_idx)]
+        calib_vals = vals[len(unknown_idx):]
+        theta_full = jnp.concatenate([theta_fd, calib_vals]) if n_calib \
+            else theta_fd
+        x = jnp.zeros(n, dtype=theta_fd.dtype)
+        if len(mf.known_idx):
+            x = x.at[known_ana_idx].set(mf.f_ss_known(theta_full))
+        x = x.at[fixed_idx_j].set(fixed_vals)
+        if len(unknown_idx):
+            x = x.at[unknown_idx_j].set(unknown_vals)
+        return x, theta_full
+
+    def resid(u, args):
+        theta_fd, fixed_vals = args
+        x, theta_full = assemble(theta_fd, fixed_vals, u)
+        r = mf.f_ss_resid(x, theta_full)[eq_sel_j]
+        if mf.f_calib_resid is not None:
+            r = jnp.concatenate([r, mf.f_calib_resid(x, theta_full)])
+        return r
+
+    def solve(theta_free, fixed_values):
+        theta_fd = mf.f_params(theta_free)
+        dtype = theta_fd.dtype
+        fixed_vals = jnp.asarray(fixed_values, dtype=dtype)
+        u0 = bijector.inverse(jnp.full((n_u,), default_guess, dtype=dtype))
+        args = (theta_fd, fixed_vals)
+        res = newton_solve(resid, u0, (args,), tol=tol, maxiter=maxiter)
+        res_lm = levenberg_marquardt_solve(resid, u0, (args,), tol=tol,
+                                           maxiter=2 * maxiter)
+        pick = res.success
+        u_star = jnp.where(pick, res.x, res_lm.x)
+        x, theta_full = assemble(theta_fd, fixed_vals, u_star)
+        # validate the FULL system, including equations resolved by the
+        # fixed values — inconsistent pins fail here
+        r_full = mf.f_ss_resid(x, theta_full)
+        if mf.f_calib_resid is not None:
+            r_full = jnp.concatenate([r_full, mf.f_calib_resid(x, theta_full)])
+        norm = jnp.max(jnp.abs(r_full))
+        from ..ops.tolerances import success_tol
+
+        success = (pick | res_lm.success) & jnp.isfinite(norm) & (
+            norm < success_tol(dtype, max(tol * 100, 1e-6)))
+        return SteadyStateSolution(x, theta_full, success, norm,
+                                   jnp.where(pick, res.n_iter, res_lm.n_iter))
+
+    return solve

@@ -123,3 +123,21 @@ def test_calibrating_equation_solved_with_ss():
     # steady state: Y = K^alpha, K/Y=2 -> K = 2*K^alpha -> alpha = 1 - log(2)/log(K)
     K = named["K"]
     np.testing.assert_allclose(K ** alpha_val, named["Y"], rtol=1e-8)
+
+
+def test_fixed_values_consistent_and_inconsistent(rbc_numeric_mf):
+    """User-pinned SS values: consistent pins solve; inconsistent pins fail."""
+    from geconpy_tpu.models.model import Model
+
+    prims, mf = rbc_numeric_mf
+    model = Model(prims)
+    free = model.steady_state(verbose=False)
+    # pin L at its true value: same solution
+    pinned = model.steady_state(verbose=False,
+                                fixed_values={"L": free.to_string()["L_ss"]})
+    assert pinned.success
+    np.testing.assert_allclose(pinned.to_string()["K_ss"],
+                               free.to_string()["K_ss"], rtol=1e-6)
+    # pin L at a wrong value: full-system validation must flag failure
+    bad = model.steady_state(verbose=False, fixed_values={"L": 2.5})
+    assert not bad.success
