@@ -76,6 +76,7 @@ class DSGEStateSpace:
         measurement_error: list[str] | dict | None = None,
         shock_std: dict | float | None = None,
         solver: str = "cycle_reduction",
+        filter_type: str = "sequential",
         loglin_variables="auto",
         cycle_reduction_tol: float = 1e-10,
         cycle_reduction_maxiter: int = 100,
@@ -119,6 +120,9 @@ class DSGEStateSpace:
         if unknown_obs:
             raise ValueError(f"observed_states not in model: {sorted(unknown_obs)}")
         self.observed_states = list(observed_states)
+        if filter_type not in ("sequential", "parallel"):
+            raise ValueError("filter_type must be 'sequential' or 'parallel'")
+        self.filter_type = filter_type
         self.ss_obs_intercept = ss_obs_intercept
         self._setup_observation_equations(observation_equations)
         self.solver = solver
@@ -482,13 +486,17 @@ class DSGEStateSpace:
             raise ValueError(
                 f"data must be (periods, {len(self.observed_states)}), got {y.shape}")
         solve_draw = self.build_solution_fn()
+        if getattr(self, "filter_type", "sequential") == "parallel":
+            from ..ops.parallel_kalman import parallel_kalman_filter as _filter
+        else:
+            _filter = kalman_filter
 
         @highest_precision
         def extras(u: jnp.ndarray) -> LogPostExtras:
             dtype = u.dtype
             sol = solve_draw(u)
-            res = kalman_filter(y, sol["T_aug"], sol["R_aug"], sol["Q"],
-                                sol["Z"], sol["H"], d=sol["d"])
+            res = _filter(y, sol["T_aug"], sol["R_aug"], sol["Q"],
+                          sol["Z"], sol["H"], d=sol["d"])
             loglik = res.loglik
             logprior = sol["logprior"]
             ok = sol["ss_success"] & sol["solver_success"] & sol["stable"] \

@@ -102,3 +102,39 @@ def test_nk_full_estimation_wiring(nk_full):
     assert np.isfinite(float(extras.logpost)), extras
     g = jax.jit(jax.grad(ss.build_logpost(data)))(ss.unconstrain(draw))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+@pytest.fixture(scope="module")
+def nk_sw():
+    return model_from_gcn(get_example_gcn("nk_sw"), verbose=False)
+
+
+def test_nk_sw_builds_and_solves(nk_sw):
+    """SW-scale model: 21 variables, 6 shocks, analytic SS, both solvers."""
+    assert nk_sw.n_variables == 21
+    assert nk_sw.n_shocks == 6
+    ss = nk_sw.steady_state(verbose=False)
+    assert ss.success and ss.resid_norm < 1e-12
+    s = ss.to_string()
+    np.testing.assert_allclose(s["u_ss"], 1.0, atol=1e-12)
+    np.testing.assert_allclose(s["G_ss"] / s["Y_ss"], 0.2, rtol=1e-10)
+
+    cr = nk_sw.solve_model(solver="cycle_reduction", tol=1e-14, verbose=False)
+    gs = nk_sw.solve_model(solver="gensys", verbose=False)
+    assert cr.success and gs.success
+    np.testing.assert_allclose(cr.T.to_numpy(), gs.T.to_numpy(), atol=1e-8)
+    bk = nk_sw.check_bk_condition(verbose=False)
+    assert bk.attrs["bk_satisfied"]
+
+
+def test_nk_sw_irf_signs(nk_sw):
+    sol = nk_sw.solve_model(verbose=False)
+    irf = impulse_response_function(sol, periods=20, shock_size=0.01)
+    # government spending crowds out consumption, raises output
+    assert irf.loc[("epsilon_g", 0), "Y"] > 0
+    assert irf.loc[("epsilon_g", 0), "C"] < 0
+    # positive price-markup shock raises inflation, lowers output
+    assert irf.loc[("epsilon_p_shock", 0), "pi"] > 0
+    assert irf.loc[("epsilon_p_shock", 0), "Y"] < 0
+    # utilization rises with technology-driven demand for capital services
+    assert abs(irf.loc[("epsilon_A", 0), "u"]) > 0
