@@ -18,7 +18,8 @@ import jax.numpy as jnp
 
 from .precision import highest_precision
 
-__all__ = ["RootResult", "newton_solve", "levenberg_marquardt_solve", "root"]
+__all__ = ["RootResult", "newton_solve", "levenberg_marquardt_solve",
+           "dogleg_solve", "root"]
 
 
 class RootResult(NamedTuple):
@@ -162,10 +163,110 @@ def levenberg_marquardt_solve(
     return RootResult(x, success, norm, it, it)
 
 
+@highest_precision
+def dogleg_solve(
+    f: Callable,
+    x0: jax.Array,
+    args: tuple = (),
+    tol: float = 1e-8,
+    maxiter: int = 200,
+    trust_radius0: float = 1.0,
+    max_radius: float = 100.0,
+) -> RootResult:
+    """Powell dogleg trust-region root-finder (Gauss-Newton model).
+
+    Role parity with the reference's sparse trust-region family
+    (``gEconpy/solvers/sparse_root/dogleg.py:13`` SparseDogleg and
+    ``gauss_newton.py:9``): minimizes 0.5||f||^2 within an adaptive trust
+    region, stepping along the classic dogleg path between the Cauchy point
+    and the Gauss-Newton point.  Same device-side control-flow guarantees as
+    :func:`newton_solve` (one ``lax.while_loop``, flags not exceptions).
+    """
+    import numpy as np
+
+    tol = max(tol, 100 * float(np.finfo(np.dtype(x0.dtype)).eps))
+    jac = jax.jacfwd(f)
+
+    def cond(state):
+        x, r, radius, it, done = state
+        return (~done) & (it < maxiter)
+
+    def body(state):
+        x, r, radius, it, done = state
+        J = jac(x, *args)
+        g = J.T @ r                                     # gradient of merit
+        gn = jnp.linalg.solve(J, -r)                    # Gauss-Newton step
+        gn_bad = ~jnp.all(jnp.isfinite(gn))
+        gn = jnp.where(gn_bad, -g, gn)
+        gn_norm = jnp.linalg.norm(gn)
+
+        # Cauchy point: steepest descent minimizer of the quadratic model
+        Jg = J @ g
+        denom = jnp.maximum(jnp.dot(Jg, Jg), 1e-300)
+        t_c = jnp.dot(g, g) / denom
+        cauchy = -t_c * g
+        c_norm = jnp.linalg.norm(cauchy)
+
+        # dogleg path selection
+        def full_gn(_):
+            return gn
+
+        def clipped(_):
+            def cauchy_clip(_):
+                return cauchy * (radius / jnp.maximum(c_norm, 1e-300))
+
+            def dogleg_seg(_):
+                d = gn - cauchy
+                a = jnp.dot(d, d)
+                b = 2.0 * jnp.dot(cauchy, d)
+                c = jnp.dot(cauchy, cauchy) - radius**2
+                disc = jnp.maximum(b * b - 4 * a * c, 0.0)
+                tau = (-b + jnp.sqrt(disc)) / jnp.maximum(2 * a, 1e-300)
+                return cauchy + tau * d
+
+            return jax.lax.cond(c_norm >= radius, cauchy_clip, dogleg_seg,
+                                None)
+
+        step = jax.lax.cond(gn_norm <= radius, full_gn, clipped, None)
+
+        # actual vs predicted reduction
+        r_try = f(x + step, *args)
+        finite = jnp.all(jnp.isfinite(r_try))
+        actual = 0.5 * (jnp.dot(r, r) - jnp.dot(r_try, r_try))
+        pred_vec = r + J @ step
+        predicted = 0.5 * (jnp.dot(r, r) - jnp.dot(pred_vec, pred_vec))
+        rho_tr = actual / jnp.maximum(predicted, 1e-300)
+
+        accept = finite & (rho_tr > 0.05)
+        x_new = jnp.where(accept, x + step, x)
+        r_new = jnp.where(accept, r_try, r)
+        step_norm = jnp.linalg.norm(step)
+        # grow only when the model is good AND the step hit the boundary
+        grow = (rho_tr > 0.75) & (step_norm >= 0.8 * radius) & finite
+        shrink = (~finite) | (rho_tr < 0.25)
+        radius_new = jnp.where(grow, jnp.minimum(2.0 * radius, max_radius),
+                               jnp.where(shrink, 0.25 * step_norm + 1e-14,
+                                         radius))
+        radius_new = jnp.maximum(radius_new, 1e-12)
+
+        converged = _inf_norm(r_new) < tol
+        stuck = radius_new <= 1e-11
+        return (x_new, r_new, radius_new, it + 1, converged | stuck)
+
+    r0 = f(x0, *args)
+    state0 = (x0, r0, jnp.asarray(trust_radius0, x0.dtype), jnp.asarray(0),
+              jnp.asarray(_inf_norm(r0) < tol))
+    x, r, radius, it, done = jax.lax.while_loop(cond, body, state0)
+    norm = _inf_norm(r)
+    success = jnp.isfinite(norm) & (norm < tol)
+    return RootResult(x, success, norm, it, it)
+
+
 @partial(jax.jit, static_argnames=("f", "method", "tol", "maxiter"))
 def root(f, x0, args=(), method: str = "newton", tol: float = 1e-8,
          maxiter: int = 100) -> RootResult:
-    """Dispatching root-finder.  ``method`` in {'newton', 'lm', 'hybrid'}.
+    """Dispatching root-finder.  ``method`` in {'newton', 'lm', 'dogleg',
+    'hybrid'}.
 
     'hybrid' runs Newton and falls back to LM when Newton fails — both
     branches trace (XLA dead-code-eliminates nothing here, but steady-state
@@ -176,6 +277,8 @@ def root(f, x0, args=(), method: str = "newton", tol: float = 1e-8,
         return newton_solve(f, x0, args, tol=tol, maxiter=maxiter)
     if method == "lm":
         return levenberg_marquardt_solve(f, x0, args, tol=tol, maxiter=maxiter)
+    if method == "dogleg":
+        return dogleg_solve(f, x0, args, tol=tol, maxiter=maxiter)
     if method == "hybrid":
         res_n = newton_solve(f, x0, args, tol=tol, maxiter=maxiter)
         res_lm = levenberg_marquardt_solve(f, x0, args, tol=tol, maxiter=2 * maxiter)

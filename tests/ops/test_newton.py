@@ -59,3 +59,34 @@ def test_newton_jit_and_grad_through_solution():
     c0 = 4.0
     x = jax.jit(solve)(c0)
     np.testing.assert_allclose(float(x), 2.0, atol=1e-10)
+
+
+def test_dogleg_solver():
+    from geconpy_tpu.ops.newton import dogleg_solve
+
+    res = dogleg_solve(quad, jnp.array([3.0, 3.0]))
+    assert bool(res.success)
+    np.testing.assert_allclose(np.asarray(res.x), [1.0, 2.0], atol=1e-8)
+
+    # stiff exponential system (Broyden-style), far initial point
+    def stiff(x):
+        return jnp.array([
+            jnp.exp(x[0]) - 2.0,
+            x[0] * x[1] - jnp.log(2.0),
+        ])
+
+    res = root(stiff, jnp.array([5.0, -4.0]), method="dogleg", maxiter=300)
+    assert bool(res.success)
+    np.testing.assert_allclose(np.asarray(res.x),
+                               [np.log(2.0), 1.0], atol=1e-7)
+
+
+def test_dogleg_vmap():
+    from geconpy_tpu.ops.newton import dogleg_solve
+
+    def f(x, c):
+        return jnp.array([x[0] ** 3 - c[0]])
+
+    cs = jnp.array([[8.0], [27.0]])
+    res = jax.vmap(lambda c: dogleg_solve(f, jnp.array([1.5]), (c,)))(cs)
+    np.testing.assert_allclose(np.asarray(res.x[:, 0]), [2.0, 3.0], atol=1e-8)
