@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from .precision import highest_precision
 
 __all__ = ["KalmanFilterResult", "KalmanSmootherResult", "kalman_filter",
-           "kalman_smoother", "kalman_loglik"]
+           "kalman_smoother", "kalman_loglik", "steady_state_kalman_loglik"]
 
 _LOG2PI = 1.8378770664093453
 
@@ -136,6 +136,79 @@ def kalman_loglik(y, T, R, Q, Z, H, d=None, x0=None, P0=None):
     """Log-likelihood only (the estimation hot path).  NaN-safe: a non-finite
     result is returned as -inf so batched samplers reject the draw."""
     ll = kalman_filter(y, T, R, Q, Z, H, d, x0, P0).loglik
+    return jnp.where(jnp.isfinite(ll), ll, -jnp.inf)
+
+
+@highest_precision
+def steady_state_kalman_loglik(y, T, R, Q, Z, H, d=None, x0=None, P0=None,
+                               n_settle: int = 48):
+    """Constant-gain (steady-state) Kalman log-likelihood.
+
+    For a stationary filter the covariance recursion converges geometrically;
+    after ``n_settle`` exact steps the gain K, innovation factor chol(F) and
+    log-det are frozen and the remaining periods reduce to
+
+        x_pred' = (T - T K Z) x_pred + T K (y - d)
+
+    — one n x n matvec per step instead of three n x n matmuls and a
+    Cholesky.  This is the standard DSGE-estimation fast path; the error
+    decays geometrically in ``n_settle``.  Requires fully observed data (no
+    NaN) — callers must fall back to :func:`kalman_filter` otherwise.
+    """
+    y = jnp.asarray(y)
+    T = jnp.asarray(T)
+    R = jnp.asarray(R)
+    dtype = T.dtype
+    Q = jnp.asarray(Q, dtype)
+    Z = jnp.asarray(Z, dtype)
+    H = jnp.asarray(H, dtype)
+    n = T.shape[0]
+    k = Z.shape[0]
+    periods = y.shape[0]
+    n_settle = min(n_settle, periods)
+    if d is None:
+        d = jnp.zeros((k,), dtype)
+    if x0 is None:
+        x0 = jnp.zeros((n,), dtype)
+    if P0 is None:
+        from .lyapunov import solve_discrete_lyapunov
+
+        P0 = solve_discrete_lyapunov(T, R @ Q @ R.T)
+    RQR = R @ Q @ R.T
+
+    # ---- phase 1: exact steps while P settles
+    def step(carry, y_t):
+        (x_filt, P_filt), (ll_t, *_rest) = _filter_step(
+            T, RQR, Z, d, H, carry, y_t)
+        return (x_filt, P_filt), ll_t
+
+    (x_filt, P_filt), ll_head = jax.lax.scan(
+        step, (jnp.asarray(x0, dtype), jnp.asarray(P0, dtype)), y[:n_settle])
+
+    if n_settle == periods:
+        ll = jnp.sum(ll_head)
+        return jnp.where(jnp.isfinite(ll), ll, -jnp.inf)
+
+    # ---- freeze the gain at the settled covariance
+    P_pred = T @ P_filt @ T.T + RQR
+    F = Z @ P_pred @ Z.T + H
+    chol_F = jnp.linalg.cholesky(F)
+    K = jax.scipy.linalg.cho_solve((chol_F, True), (P_pred @ Z.T).T).T
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol_F)))
+    const = -0.5 * (k * _LOG2PI + logdet)
+    M = T - (T @ K) @ Z          # x_pred recursion matrix
+    TK = T @ K
+
+    def fast_step(x_pred, y_t):
+        v = y_t - Z @ x_pred - d
+        w = jax.scipy.linalg.cho_solve((chol_F, True), v)
+        ll_t = const - 0.5 * (v @ w)
+        x_pred_next = M @ x_pred + TK @ (y_t - d)
+        return x_pred_next, ll_t
+
+    x_pred0 = T @ x_filt
+    _, ll_tail = jax.lax.scan(fast_step, x_pred0, y[n_settle:])
+    ll = jnp.sum(ll_head) + jnp.sum(ll_tail)
     return jnp.where(jnp.isfinite(ll), ll, -jnp.inf)
 
 

@@ -120,8 +120,9 @@ class DSGEStateSpace:
         if unknown_obs:
             raise ValueError(f"observed_states not in model: {sorted(unknown_obs)}")
         self.observed_states = list(observed_states)
-        if filter_type not in ("sequential", "parallel"):
-            raise ValueError("filter_type must be 'sequential' or 'parallel'")
+        if filter_type not in ("sequential", "parallel", "steady_state"):
+            raise ValueError("filter_type must be 'sequential', 'parallel' "
+                             "or 'steady_state'")
         self.filter_type = filter_type
         self.ss_obs_intercept = ss_obs_intercept
         self._setup_observation_equations(observation_equations)
@@ -486,18 +487,27 @@ class DSGEStateSpace:
             raise ValueError(
                 f"data must be (periods, {len(self.observed_states)}), got {y.shape}")
         solve_draw = self.build_solution_fn()
-        if getattr(self, "filter_type", "sequential") == "parallel":
-            from ..ops.parallel_kalman import parallel_kalman_filter as _filter
+        filter_type = getattr(self, "filter_type", "sequential")
+        if filter_type == "steady_state" and bool(np.isnan(data).any()):
+            raise ValueError("filter_type='steady_state' requires fully "
+                             "observed data (no NaN); use 'sequential'")
+        if filter_type == "parallel":
+            from ..ops.parallel_kalman import parallel_kalman_filter
+
+            def _loglik(*args, **kw):
+                return parallel_kalman_filter(*args, **kw).loglik
+        elif filter_type == "steady_state":
+            from ..ops.kalman import steady_state_kalman_loglik as _loglik
         else:
-            _filter = kalman_filter
+            def _loglik(*args, **kw):
+                return kalman_filter(*args, **kw).loglik
 
         @highest_precision
         def extras(u: jnp.ndarray) -> LogPostExtras:
             dtype = u.dtype
             sol = solve_draw(u)
-            res = _filter(y, sol["T_aug"], sol["R_aug"], sol["Q"],
-                          sol["Z"], sol["H"], d=sol["d"])
-            loglik = res.loglik
+            loglik = _loglik(y, sol["T_aug"], sol["R_aug"], sol["Q"],
+                             sol["Z"], sol["H"], d=sol["d"])
             logprior = sol["logprior"]
             ok = sol["ss_success"] & sol["solver_success"] & sol["stable"] \
                 & jnp.isfinite(loglik) & jnp.isfinite(logprior)

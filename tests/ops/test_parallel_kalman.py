@@ -97,3 +97,53 @@ def test_statespace_parallel_filter_option():
     ll_seq = float(jax.jit(ss_seq.build_logpost(data))(u))
     ll_par = float(jax.jit(ss_par.build_logpost(data))(u))
     np.testing.assert_allclose(ll_par, ll_seq, rtol=1e-8)
+
+
+def test_steady_state_filter_matches_exact():
+    from geconpy_tpu.ops.kalman import steady_state_kalman_loglik
+
+    T, R, Q, Z, H, d = make_system(seed=8)
+    y = simulate(T, R, Q, Z, H, d, 300, seed=9)
+    exact = float(kalman_filter(y, T, R, Q, Z, H, d=jnp.asarray(d)).loglik)
+    fast = float(steady_state_kalman_loglik(y, T, R, Q, Z, H,
+                                            d=jnp.asarray(d), n_settle=60))
+    np.testing.assert_allclose(fast, exact, rtol=1e-8)
+    # short settle is less exact but close
+    fast20 = float(steady_state_kalman_loglik(y, T, R, Q, Z, H,
+                                              d=jnp.asarray(d), n_settle=20))
+    np.testing.assert_allclose(fast20, exact, rtol=1e-4)
+    # degenerate: settle >= periods reduces to the exact filter
+    short = simulate(T, R, Q, Z, H, d, 30, seed=10)
+    exact_s = float(kalman_filter(short, T, R, Q, Z, H, d=jnp.asarray(d)).loglik)
+    fast_s = float(steady_state_kalman_loglik(short, T, R, Q, Z, H,
+                                              d=jnp.asarray(d), n_settle=60))
+    np.testing.assert_allclose(fast_s, exact_s, rtol=1e-12)
+
+
+def test_statespace_steady_state_filter_option():
+    import pathlib
+
+    import jax
+
+    from geconpy_tpu import model_from_gcn
+    from geconpy_tpu.stats.statespace import DSGEStateSpace
+
+    data_dir = pathlib.Path(__file__).parents[2] / "geconpy_tpu" / "data"
+    model = model_from_gcn(str(data_dir / "rbc_estimation.gcn"))
+    kwargs = dict(observed_states=["Y"], constant_params=["alpha", "sigma_C"])
+    ss_seq = DSGEStateSpace(model).configure(**kwargs)
+    ss_fast = DSGEStateSpace(model).configure(filter_type="steady_state",
+                                              **kwargs)
+    data, draw = ss_seq.data_from_prior(jax.random.PRNGKey(0), periods=200)
+    u = ss_seq.unconstrain(draw)
+    ll_seq = float(jax.jit(ss_seq.build_logpost(data))(u))
+    ll_fast = float(jax.jit(ss_fast.build_logpost(data))(u))
+    np.testing.assert_allclose(ll_fast, ll_seq, rtol=1e-7)
+
+    # NaN data must be rejected for the fast path
+    bad = np.asarray(data).copy()
+    bad[3, 0] = np.nan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fully observed"):
+        ss_fast.build_logpost(bad)
