@@ -526,6 +526,48 @@ class DSGEStateSpace:
 
         return extras
 
+    # ------------------------------------------------------ filter/smoother
+    def filter_data(self, data: np.ndarray, params: dict | None = None,
+                    smoother: bool = False):
+        """Kalman-filter (or RTS-smooth) the data at one parameter point.
+
+        ``params`` maps estimated-parameter names to constrained values
+        (defaults to prior means / GCN initial values).  Returns a pandas
+        DataFrame of state paths labeled by variable, plus the loglik in
+        ``df.attrs["loglik"]``.  Role parity with the reference's
+        filtered/smoothed output used by plot_kalman_filter.
+        """
+        import pandas as pd
+
+        from ..ops.kalman import kalman_filter as _kf
+        from ..ops.kalman import kalman_smoother as _ks
+
+        if params is None:
+            u = self.initial_position()
+        else:
+            vals = []
+            for p_ in self.estimated:
+                if p_.name in params:
+                    vals.append(float(params[p_.name]))
+                else:
+                    v = p_.initial if p_.initial is not None else p_.prior.mean()
+                    vals.append(float(v))
+            u = self.unconstrain(np.asarray(vals))
+        sol = jax.jit(self.build_solution_fn())(u)
+        y = jnp.asarray(data)
+        res = _kf(y, sol["T_aug"], sol["R_aug"], sol["Q"], sol["Z"],
+                  sol["H"], d=sol["d"])
+        n = self.model.functions.n_variables
+        if smoother:
+            sm = _ks(y, sol["T_aug"], sol["R_aug"], sol["Q"], sol["Z"],
+                     sol["H"], d=sol["d"])
+            paths = np.asarray(sm.smoothed_mean)[:, :n]
+        else:
+            paths = np.asarray(res.filtered_mean)[:, :n]
+        df = pd.DataFrame(paths, columns=self.model.functions.variable_names)
+        df.attrs["loglik"] = float(res.loglik)
+        return df
+
     # ------------------------------------------------------- prior utilities
     def sample_prior(self, key, n_draws: int = 1000) -> dict[str, np.ndarray]:
         keys = jax.random.split(key, len(self.estimated))

@@ -131,3 +131,17 @@ def test_posterior_smoother_and_diagnostics(configured):
     diag = posterior_diagnostics(configured, res, max_draws=None)
     assert diag["ss_success"].all()
     assert (diag["deterministic_norm"] < 1e-6).all()
+
+
+def test_filter_data_api(configured):
+    import jax
+
+    data, draw = configured.data_from_prior(jax.random.PRNGKey(5), periods=60)
+    filt = configured.filter_data(data, params=draw)
+    assert filt.shape == (60, 9)
+    assert np.isfinite(filt.attrs["loglik"])
+    sm = configured.filter_data(data, params=draw, smoother=True)
+    assert sm.shape == (60, 9)
+    # smoothed Y tracks observed Y closely (Y is observed w/o meas. error)
+    corr = np.corrcoef(sm["Y"], np.asarray(data)[:, 0])[0, 1]
+    assert corr > 0.99
