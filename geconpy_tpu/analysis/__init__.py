@@ -1,0 +1,15 @@
+from .dynare import DynarePrinter, make_mod_file
+from .perfect_foresight import PerfectForesightResult, solve_perfect_foresight
+from .simulate import (
+    impulse_response,
+    impulse_response_function,
+    simulate,
+    simulate_linear,
+)
+
+__all__ = [
+    "DynarePrinter", "make_mod_file",
+    "PerfectForesightResult", "solve_perfect_foresight",
+    "impulse_response", "impulse_response_function", "simulate",
+    "simulate_linear",
+]

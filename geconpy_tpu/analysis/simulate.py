@@ -8,7 +8,6 @@ as one XLA program.  Results come back as labeled pandas objects on the host.
 
 from __future__ import annotations
 
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -21,13 +21,12 @@ chosen for the TPU/XLA compilation model:
 from __future__ import annotations
 
 import hashlib
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Sequence
 
 import sympy as sp
 from sympy.printing.numpy import JaxPrinter
 
-from ..symbolic import TimeAwareSymbol
 
 __all__ = ["lower_to_jax", "CompiledFunction"]
 

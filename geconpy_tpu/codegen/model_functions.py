@@ -15,7 +15,6 @@ _substitute_and_filter:142, compile_known_ss:315).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable
 
 import numpy as np
 import sympy as sp

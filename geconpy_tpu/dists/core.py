@@ -16,7 +16,7 @@ from typing import ClassVar
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.scipy.special import betainc, gammaln, ndtr, ndtri
+from jax.scipy.special import gammaln, ndtr, ndtri
 
 __all__ = [
     "Distribution", "Normal", "HalfNormal", "TruncatedNormal", "Beta",

@@ -12,6 +12,13 @@ from .errors import (
 from .expand_time import expand_deep_time_indices
 from .lexer import Token, TokenKind, tokenize
 from .parser import parse_expression, parse_gcn
+from .preprocessor import (
+    ParseResult,
+    preprocess,
+    preprocess_file,
+    print_gcn_html,
+    quick_parse,
+)
 from .printer import print_block, print_equation, print_expression, print_model
 from .sympify import SympyConverter, ast_to_sympy, equation_to_sympy
 from .validate import full_validation, validate_block, validate_model
@@ -32,6 +39,11 @@ __all__ = [
     "tokenize",
     "parse_expression",
     "parse_gcn",
+    "ParseResult",
+    "preprocess",
+    "preprocess_file",
+    "print_gcn_html",
+    "quick_parse",
     "print_block",
     "print_equation",
     "print_expression",

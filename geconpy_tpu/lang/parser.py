@@ -26,7 +26,7 @@ from __future__ import annotations
 from typing import Any
 
 from . import ast_nodes as A
-from .errors import GCNSyntaxError, ParseLocation, suggest
+from .errors import GCNSyntaxError, suggest
 from .lexer import Token, TokenKind as T, tokenize
 
 __all__ = ["parse_gcn", "parse_expression", "COMPONENT_NAMES", "SPECIAL_BLOCKS"]

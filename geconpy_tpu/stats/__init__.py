@@ -1,0 +1,50 @@
+from .checkpoint import fit_with_checkpointing, load_checkpoint, save_checkpoint
+from .covariance import (
+    autocorrelation,
+    autocovariance,
+    autocovariance_matrix,
+    fevd,
+    stationary_covariance,
+    stationary_covariance_matrix,
+)
+from .diagnostics import effective_sample_size, split_rhat, summarize_chains
+from .estimation import PosteriorResult, fit
+from .nuts import NUTSResult, nuts_kernel, sample_nuts
+from .perturbation_diagnostics import (
+    eigenvalue_sensitivity,
+    prior_solvability_check,
+    solvability_check,
+    summarize_perturbation_solution,
+)
+from .posterior import (
+    posterior_autocorrelation,
+    posterior_diagnostics,
+    posterior_fevd,
+    posterior_irfs,
+    posterior_smoothed_states,
+    prepare_mixed_frequency_data,
+)
+from .sampling import (
+    bounds_from_priors,
+    sample_from_priors,
+    sample_from_priors_qmc,
+    sample_uniform_from_priors,
+)
+from .statespace import DSGEStateSpace, EstimatedParameter, LogPostExtras
+
+__all__ = [
+    "DSGEStateSpace", "EstimatedParameter", "LogPostExtras",
+    "PosteriorResult", "fit", "fit_with_checkpointing",
+    "load_checkpoint", "save_checkpoint",
+    "NUTSResult", "nuts_kernel", "sample_nuts",
+    "effective_sample_size", "split_rhat", "summarize_chains",
+    "stationary_covariance", "stationary_covariance_matrix",
+    "autocovariance", "autocovariance_matrix", "autocorrelation", "fevd",
+    "eigenvalue_sensitivity", "prior_solvability_check", "solvability_check",
+    "summarize_perturbation_solution",
+    "posterior_irfs", "posterior_autocorrelation", "posterior_fevd",
+    "posterior_smoothed_states", "posterior_diagnostics",
+    "prepare_mixed_frequency_data",
+    "bounds_from_priors", "sample_from_priors", "sample_from_priors_qmc",
+    "sample_uniform_from_priors",
+]

@@ -77,6 +77,7 @@ class DSGEStateSpace:
         shock_std: dict | float | None = None,
         solver: str = "cycle_reduction",
         filter_type: str = "sequential",
+        kalman_settle: int = 48,
         loglin_variables="auto",
         cycle_reduction_tol: float = 1e-10,
         cycle_reduction_maxiter: int = 100,
@@ -124,6 +125,7 @@ class DSGEStateSpace:
             raise ValueError("filter_type must be 'sequential', 'parallel' "
                              "or 'steady_state'")
         self.filter_type = filter_type
+        self.kalman_settle = int(kalman_settle)
         self.ss_obs_intercept = ss_obs_intercept
         self._setup_observation_equations(observation_equations)
         self.solver = solver
@@ -497,7 +499,12 @@ class DSGEStateSpace:
             def _loglik(*args, **kw):
                 return parallel_kalman_filter(*args, **kw).loglik
         elif filter_type == "steady_state":
-            from ..ops.kalman import steady_state_kalman_loglik as _loglik
+            import functools
+
+            from ..ops.kalman import steady_state_kalman_loglik
+
+            _loglik = functools.partial(steady_state_kalman_loglik,
+                                        n_settle=self.kalman_settle)
         else:
             def _loglik(*args, **kw):
                 return kalman_filter(*args, **kw).loglik
@@ -586,9 +593,6 @@ class DSGEStateSpace:
         draw = {p.name: float(np.asarray(p.prior.sample(k)))
                 for p, k in zip(self.estimated,
                                 jax.random.split(k_draw, len(self.estimated)))}
-        u = self.unconstrain(draw)
-        extras_fn = self.build_logpost_extras(
-            np.zeros((1, len(self.observed_states))))
         # reuse the pipeline pieces directly for simulation
         mf = self.model.functions
         theta_free = np.asarray(self._theta_default).copy()

@@ -1,0 +1,3 @@
+from .reporting import block_to_html, build_report, model_to_html, print_steady_state
+
+__all__ = ["block_to_html", "build_report", "model_to_html", "print_steady_state"]

@@ -111,3 +111,18 @@ def test_prior_sampling(ss_mod):
     assert set(draws) == set(ss_mod.param_labels)
     assert 0.2 < draws["alpha"].mean() < 0.6
     assert (draws["sigma_A"] > 0).all()
+
+
+def test_gensys_solver_in_statespace(ss_mod, dataset):
+    """solver='gensys' (device disk-split) gives the same likelihood as
+    cycle reduction."""
+    data, draw = dataset
+    model = ss_mod.model
+    ss_g = DSGEStateSpace(model)
+    ss_g.configure(observed_states=["Y", "C"],
+                   measurement_error=["Y", "C"],
+                   solver="gensys")
+    u = ss_mod.unconstrain(draw)
+    ll_cr = float(jax.jit(ss_mod.build_logpost(data))(u))
+    ll_gs = float(jax.jit(ss_g.build_logpost(data))(u))
+    np.testing.assert_allclose(ll_gs, ll_cr, rtol=1e-7)
