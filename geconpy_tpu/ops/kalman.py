@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from .precision import highest_precision
 
 __all__ = ["KalmanFilterResult", "KalmanSmootherResult", "kalman_filter",
-           "kalman_smoother", "kalman_loglik", "steady_state_kalman_loglik"]
+           "kalman_smoother", "kalman_loglik", "steady_state_kalman_loglik",
+           "steady_state_filter_parts"]
 
 _LOG2PI = 1.8378770664093453
 
@@ -210,6 +211,55 @@ def steady_state_kalman_loglik(y, T, R, Q, Z, H, d=None, x0=None, P0=None,
     _, ll_tail = jax.lax.scan(fast_step, x_pred0, y[n_settle:])
     ll = jnp.sum(ll_head) + jnp.sum(ll_tail)
     return jnp.where(jnp.isfinite(ll), ll, -jnp.inf)
+
+
+@highest_precision
+def steady_state_filter_parts(y_head, T, R, Q, Z, H, d=None, x0=None,
+                              P0=None):
+    """Settle phase + frozen-gain quantities for the Pallas tail kernel.
+
+    Runs the exact filter over ``y_head`` and returns
+    (ll_head, x_pred0, M, TK, Finv, const) — everything the fused
+    constant-gain tail (:func:`geconpy_tpu.ops.pallas_filter
+    .pallas_filter_tail`) needs per draw.
+    """
+    y_head = jnp.asarray(y_head)
+    T = jnp.asarray(T)
+    R = jnp.asarray(R)
+    dtype = T.dtype
+    Q = jnp.asarray(Q, dtype)
+    Z = jnp.asarray(Z, dtype)
+    H = jnp.asarray(H, dtype)
+    n = T.shape[0]
+    k = Z.shape[0]
+    if d is None:
+        d = jnp.zeros((k,), dtype)
+    if x0 is None:
+        x0 = jnp.zeros((n,), dtype)
+    if P0 is None:
+        from .lyapunov import solve_discrete_lyapunov
+
+        P0 = solve_discrete_lyapunov(T, R @ Q @ R.T)
+    RQR = R @ Q @ R.T
+
+    def step(carry, y_t):
+        (x_filt, P_filt), (ll_t, *_rest) = _filter_step(
+            T, RQR, Z, d, H, carry, y_t)
+        return (x_filt, P_filt), ll_t
+
+    (x_filt, P_filt), ll_head = jax.lax.scan(
+        step, (jnp.asarray(x0, dtype), jnp.asarray(P0, dtype)), y_head)
+
+    P_pred = T @ P_filt @ T.T + RQR
+    F = Z @ P_pred @ Z.T + H
+    chol_F = jnp.linalg.cholesky(F)
+    K = jax.scipy.linalg.cho_solve((chol_F, True), (P_pred @ Z.T).T).T
+    Finv = jax.scipy.linalg.cho_solve((chol_F, True), jnp.eye(k, dtype=dtype))
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol_F)))
+    const = -0.5 * (k * _LOG2PI + logdet)
+    M = T - (T @ K) @ Z
+    TK = T @ K
+    return jnp.sum(ll_head), T @ x_filt, M, TK, Finv, const
 
 
 @highest_precision

@@ -533,6 +533,50 @@ class DSGEStateSpace:
 
         return extras
 
+    # ----------------------------------------------------- batched sweeps
+    def build_batched_loglik(self, data: np.ndarray, n_settle: int = 32,
+                             pallas_tile: int = 512,
+                             interpret: bool = False):
+        """Gradient-free batched log-posterior for big sweeps.
+
+        ``f(U) -> (B,)`` where U is (B, n_estimated) unconstrained draws.
+        The per-draw solve + settle phase is vmapped XLA; the constant-gain
+        filter tail runs in the fused Pallas kernel
+        (:mod:`geconpy_tpu.ops.pallas_filter`) with the batch in the vector
+        lanes — the prior/posterior-predictive sweep and benchmark hot path.
+        Requires fully observed data.  For gradients (NUTS) use
+        ``build_logpost``.
+        """
+        if bool(np.isnan(data).any()):
+            raise ValueError("build_batched_loglik requires fully observed data")
+        y = jnp.asarray(data)
+        y_head, y_tail = y[:n_settle], y[n_settle:]
+        solve_draw = self.build_solution_fn()
+
+        from ..ops.kalman import steady_state_filter_parts
+        from ..ops.pallas_filter import pallas_filter_tail
+
+        def per_draw(u):
+            sol = solve_draw(u)
+            ll_head, x_pred0, M, TK, Finv, const = steady_state_filter_parts(
+                y_head.astype(u.dtype), sol["T_aug"], sol["R_aug"],
+                sol["Q"], sol["Z"], sol["H"], d=sol["d"])
+            ok = sol["ss_success"] & sol["solver_success"] & sol["stable"]
+            return (ll_head, sol["logprior"], ok, x_pred0, M, TK, Finv,
+                    const, sol["Z"], sol["d"])
+
+        def batched(U):
+            (ll_head, logprior, ok, x_pred0, M, TK, Finv, const, Zb, db) = \
+                jax.vmap(per_draw)(U)
+            ll_tail = pallas_filter_tail(
+                y_tail.astype(U.dtype), M, TK, Zb, db, Finv, const, x_pred0,
+                tile=pallas_tile, interpret=interpret)
+            ll = ll_head + ll_tail + logprior
+            ll = jnp.where(ok & jnp.isfinite(ll), ll, -jnp.inf)
+            return ll
+
+        return batched
+
     # ------------------------------------------------------ filter/smoother
     def filter_data(self, data: np.ndarray, params: dict | None = None,
                     smoother: bool = False):
