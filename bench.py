@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _measure(model_name: str, configure_kwargs: dict, batch_size: int = 1024,
+def _measure(model_name: str, configure_kwargs: dict, batch_size: int = 4096,
              periods: int = 200, n_reps: int = 20) -> float:
     import geconpy_tpu
     from geconpy_tpu.stats.statespace import DSGEStateSpace
@@ -61,7 +61,7 @@ def main():
     evals_per_sec = _measure(
         "nk_sw",
         dict(observed_states=["Y", "pi", "R", "C", "I"],
-             filter_type="steady_state",
+             filter_type="steady_state", kalman_settle=32,
              constant_params=["sigma_C", "sigma_L", "h_C", "gamma_I",
                               "gamma_u2", "alpha", "psi_p", "g_y"]),
     )
