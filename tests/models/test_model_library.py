@@ -1,0 +1,63 @@
+"""Every bundled example model must build, solve with both solvers, and agree."""
+
+import numpy as np
+import pytest
+
+from geconpy_tpu import get_example_gcn, model_from_gcn
+
+ALL_MODELS = ["rbc", "rbc_no_ss", "rbc_estimation", "nk_3eq", "nk_full",
+              "nk_sw", "rbc_two_agent", "open_rbc", "rbc_ces"]
+
+
+@pytest.mark.parametrize("name", ALL_MODELS)
+def test_model_solves_and_solvers_agree(name):
+    model = model_from_gcn(get_example_gcn(name), verbose=False)
+    ss = model.steady_state(verbose=False)
+    assert ss.success, f"{name}: SS failed (norm {ss.resid_norm})"
+
+    cr = model.solve_model(solver="cycle_reduction", tol=1e-14, verbose=False)
+    assert cr.success, name
+    assert cr.deterministic_norm < 1e-8, name
+    assert cr.spectral_radius < 1.0, name
+
+    gs = model.solve_model(solver="gensys", verbose=False)
+    assert gs.success and gs.eu == (1, 1), name
+    np.testing.assert_allclose(cr.T.to_numpy(), gs.T.to_numpy(), atol=1e-8,
+                               err_msg=name)
+    np.testing.assert_allclose(cr.R.to_numpy(), gs.R.to_numpy(), atol=1e-8,
+                               err_msg=name)
+
+
+def test_two_agent_hand_to_mouth():
+    """Workers consume their wage 1:1; capitalists smooth."""
+    from geconpy_tpu import impulse_response_function
+
+    model = model_from_gcn(get_example_gcn("rbc_two_agent"), verbose=False)
+    sol = model.solve_model(verbose=False)
+    irf = impulse_response_function(sol, periods=10, shock_size=0.01)
+    # log-deviation of C_w equals log-deviation of w*L on impact
+    cw = irf.loc[("epsilon_A", 0), "C_w"]
+    wl = irf.loc[("epsilon_A", 0), "w"] + irf.loc[("epsilon_A", 0), "L"]
+    np.testing.assert_allclose(cw, wl, atol=1e-10)
+    # capitalists smooth much more than workers
+    assert abs(irf.loc[("epsilon_A", 0), "C_c"]) < 0.2 * abs(cw)
+
+
+def test_open_economy_premium():
+    """Debt-elastic premium pins B at b_bar with r_b = 1/beta - 1."""
+    model = model_from_gcn(get_example_gcn("open_rbc"), verbose=False)
+    ss = model.steady_state(verbose=False).to_string()
+    np.testing.assert_allclose(ss["B_ss"], 0.2, atol=1e-8)
+    np.testing.assert_allclose(ss["r_b_ss"], 1 / 0.99 - 1, atol=1e-8)
+
+
+def test_ces_block_in_pipeline():
+    from geconpy_tpu.models.special_blocks import CESBlock
+
+    model = model_from_gcn(get_example_gcn("rbc_ces"), verbose=False)
+    assert isinstance(model.primitives.blocks["FIRM"], CESBlock)
+    # CRS CES: factor payments exhaust output at the SS
+    ss = model.steady_state(verbose=False).to_string()
+    np.testing.assert_allclose(
+        ss["r_ss"] * ss["K_ss"] + ss["w_ss"] * ss["L_ss"], ss["Y_ss"],
+        rtol=1e-8)
