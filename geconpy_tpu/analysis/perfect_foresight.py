@@ -119,6 +119,7 @@ def solve_perfect_foresight(
     shocks: dict[str, np.ndarray] | None = None,
     initial_params: dict | None = None,
     terminal_params: dict | None = None,
+    param_paths: dict[str, np.ndarray] | None = None,
     tol: float = 1e-8,
     maxiter: int = 100,
     initial_guess: str = "terminal",   # "terminal" | "linear" | "initial"
@@ -130,6 +131,9 @@ def solve_perfect_foresight(
     - Permanent change: pass ``terminal_params`` differing from
       ``initial_params`` — boundaries use the two steady states and the
       terminal parameterization governs dynamics (announced-at-t0 change).
+    - Time-varying parameters: ``param_paths={"name": array}`` overrides a
+      free parameter along the transition (padded with its terminal value);
+      the terminal steady state must be consistent with the path's end.
     """
     mf = model.functions
     n = mf.n_variables
@@ -154,7 +158,26 @@ def solve_perfect_foresight(
             m = min(len(path), periods)
             eps_path[:m, j] = path[:m]
 
-    theta_path = jnp.tile(ss1.theta_full[None, :], (periods, 1))
+    theta_path_np = np.tile(np.asarray(ss1.theta_full)[None, :], (periods, 1))
+    if param_paths:
+        free_names = [p_.name for p_ in mf.free_params]
+        # theta_full layout: free ++ deterministic ++ calibrated; recompute
+        # the free+deterministic block per period through f_params
+        free_block = np.tile(np.asarray(model.default_theta(
+            **{**(initial_params or {}), **(terminal_params or {})}))[None, :],
+            (periods, 1))
+        for name, path in param_paths.items():
+            if name not in free_names:
+                raise KeyError(f"unknown parameter {name!r} in param_paths")
+            j = free_names.index(name)
+            path = np.asarray(path, dtype=float).ravel()
+            m = min(len(path), periods)
+            free_block[:m, j] = path[:m]
+            if m < periods:
+                free_block[m:, j] = path[-1] if len(path) else free_block[m:, j]
+        fd = np.asarray(jax.vmap(mf.f_params)(jnp.asarray(free_block)))
+        theta_path_np[:, :fd.shape[1]] = fd
+    theta_path = jnp.asarray(theta_path_np)
 
     x0_ss = ss0.x_ss
     xT_ss = ss1.x_ss

@@ -97,3 +97,17 @@ def test_permanent_shock(rbc):
     ss_old = rbc.steady_state(verbose=False).to_string()
     assert ss_new["K_ss"] < ss_old["K_ss"]
     assert traj.loc[5, "K"] < ss_old["K_ss"]
+
+
+def test_time_varying_parameter_path(rbc):
+    """Announced temporary parameter change via param_paths: depreciation
+    lowered for 20 periods, then back."""
+    res = solve_perfect_foresight(
+        rbc, periods=200, param_paths={"delta": np.concatenate(
+            [np.full(20, 0.015), np.full(180, 0.02)])})
+    assert res.success, res
+    traj = res.trajectory
+    ss = rbc.steady_state(verbose=False).to_string()
+    # cheaper depreciation early on -> capital builds above SS then returns
+    assert traj.loc[10, "K"] > ss["K_ss"]
+    np.testing.assert_allclose(traj.loc[200, "K"], ss["K_ss"], rtol=1e-8)
