@@ -145,3 +145,19 @@ def test_filter_data_api(configured):
     # smoothed Y tracks observed Y closely (Y is observed w/o meas. error)
     corr = np.corrcoef(sm["Y"], np.asarray(data)[:, 0])[0, 1]
     assert corr > 0.99
+
+
+def test_prior_predictive_sweep_sharded(configured):
+    """Config-5 workload: draws sharded over the 8-device virtual mesh."""
+    from geconpy_tpu.parallel.mesh import make_mesh
+    from geconpy_tpu.stats.prior_predictive import prior_predictive_sweep
+
+    out = prior_predictive_sweep(configured, n_draws=24, periods=8,
+                                 fevd_horizon=6, mesh=make_mesh())
+    assert out["success_rate"] > 0.8
+    assert {"mean", "q0.5"} <= set(out["irf"].columns)
+    np.testing.assert_allclose(out["fevd"].sum(axis=1).to_numpy(), 1.0,
+                               atol=1e-8)
+    assert (out["std"]["mean"] > 0).all()
+    # technology IRF on output positive across the prior
+    assert out["irf"].loc[("epsilon_A", "Y", 0), "q0.05"] > 0
