@@ -138,3 +138,80 @@ def test_nk_sw_irf_signs(nk_sw):
     assert irf.loc[("epsilon_p_shock", 0), "Y"] < 0
     # utilization rises with technology-driven demand for capital services
     assert abs(irf.loc[("epsilon_A", 0), "u"]) > 0
+
+
+@pytest.fixture(scope="module")
+def sw2007():
+    return model_from_gcn(get_example_gcn("sw2007"), verbose=False)
+
+
+def test_sw2007_builds_and_solves(sw2007):
+    """Faithful linearized Smets-Wouters 2007: 33 variables, 7 shocks."""
+    m = sw2007
+    assert m.n_variables == 33
+    assert m.n_shocks == 7
+    assert m.primitives.is_linear
+    sol = m.solve_model(verbose=False, tol=1e-14)
+    assert sol.success and sol.deterministic_norm < 1e-10
+    gs = m.solve_model(solver="gensys", verbose=False)
+    assert gs.eu == (1, 1)
+    np.testing.assert_allclose(sol.T.to_numpy(), gs.T.to_numpy(), atol=1e-8)
+    bk = m.check_bk_condition(verbose=False)
+    assert bk.attrs["bk_satisfied"]
+
+
+def test_sw2007_irf_signs(sw2007):
+    sol = sw2007.solve_model(verbose=False)
+    irf = impulse_response_function(sol, periods=20, shock_size=1.0)
+    # contractionary monetary policy: output and inflation fall, rate rises
+    assert irf.loc[("em", 0), "y"] < 0
+    assert irf.loc[("em", 0), "pinf"] < 0
+    assert irf.loc[("em", 0), "r"] > 0
+    # productivity: output up, inflation down, hours fall on impact (SW's
+    # famous result under sticky prices)
+    assert irf.loc[("ea", 0), "y"] > 0
+    assert irf.loc[("ea", 0), "pinf"] < 0
+    assert irf.loc[("ea", 0), "lab"] < 0
+    # government spending: output up, consumption crowded out
+    assert irf.loc[("eg", 0), "y"] > 0
+    assert irf.loc[("eg", 0), "c"] < 0
+    # investment-technology: investment booms
+    assert irf.loc[("eqs", 0), "inve"] > 0
+    # wage markup: real wage up, output down (cost push)
+    assert irf.loc[("ew", 0), "w"] > 0
+    assert irf.loc[("ew", 1), "y"] < 0
+
+
+def test_sw2007_estimation_wiring(sw2007):
+    """The SW-2007 7-observable measurement block (growth rates + levels)
+    produces a finite, differentiable log posterior."""
+    import jax
+
+    from geconpy_tpu.stats.statespace import DSGEStateSpace
+
+    ss = DSGEStateSpace(sw2007)
+    constant = [p for p in sw2007.param_names
+                if p not in ("crhoa", "crhob", "crhog", "sigma_ea",
+                             "sigma_eb", "sigma_eg", "sigma_em", "crpi",
+                             "crr", "chabb")]
+    ss.configure(
+        observed_states=["dy", "dc", "dinve", "dw", "pinfobs", "robs",
+                         "labobs"],
+        observation_equations={
+            "dy": "y[] - y[-1]",
+            "dc": "c[] - c[-1]",
+            "dinve": "inve[] - inve[-1]",
+            "dw": "w[] - w[-1]",
+            "pinfobs": "pinf[]",
+            "robs": "r[]",
+            "labobs": "lab[]",
+        },
+        constant_params=constant,
+    )
+    assert ss._obs_max_lag == 1
+    data, draw = ss.data_from_prior(jax.random.PRNGKey(0), periods=60)
+    u = ss.unconstrain(draw)
+    extras = jax.jit(ss.build_logpost_extras(data))(u)
+    assert np.isfinite(float(extras.logpost)), extras
+    g = jax.jit(jax.grad(ss.build_logpost(data)))(u)
+    assert np.all(np.isfinite(np.asarray(g)))
