@@ -21,7 +21,7 @@ from .stats.perturbation_diagnostics import (
     solvability_check,
     summarize_perturbation_solution,
 )
-from .stats.statespace import DSGEStateSpace
+from .stats.statespace import DSGEStateSpace, statespace_from_gcn
 from .symbolic import SteadyStateResults, SymbolDictionary, TimeAwareSymbol
 
 
@@ -45,6 +45,7 @@ __all__ = [
     "SymbolDictionary",
     "TimeAwareSymbol",
     "DSGEStateSpace",
+    "statespace_from_gcn",
     "PosteriorResult",
     "PerfectForesightResult",
     "model_from_gcn",

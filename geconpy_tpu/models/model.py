@@ -57,6 +57,35 @@ class PolicySolution:
     steady_state: SteadyStateResults | None = None
     loglin_scale: np.ndarray | None = None
 
+    # ------------------------------------------------------- conveniences
+    def impulse_responses(self, periods: int = 40, **kwargs):
+        from ..analysis.simulate import impulse_response_function
+
+        return impulse_response_function(self, periods=periods, **kwargs)
+
+    def simulate(self, periods: int = 40, n_simulations: int = 100, **kwargs):
+        from ..analysis.simulate import simulate
+
+        return simulate(self, periods=periods, n_simulations=n_simulations,
+                        **kwargs)
+
+    def stationary_covariance(self, **kwargs):
+        from ..stats.covariance import stationary_covariance_matrix
+
+        return stationary_covariance_matrix(self, **kwargs)
+
+    def autocorrelation(self, n_lags: int = 10, **kwargs):
+        from ..stats.covariance import autocovariance_matrix
+
+        return autocovariance_matrix(self, n_lags=n_lags, **kwargs)
+
+    def summary(self):
+        from ..stats.perturbation_diagnostics import (
+            summarize_perturbation_solution,
+        )
+
+        return summarize_perturbation_solution(self)
+
     def __repr__(self):
         status = "ok" if self.success else "FAILED"
         msg = (f"PolicySolution({self.solver}, {status}, "

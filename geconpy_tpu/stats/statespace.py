@@ -36,7 +36,8 @@ from ..ops.lyapunov import solve_discrete_lyapunov
 
 _log = logging.getLogger(__name__)
 
-__all__ = ["DSGEStateSpace", "EstimatedParameter", "LogPostExtras"]
+__all__ = ["DSGEStateSpace", "EstimatedParameter", "LogPostExtras",
+           "statespace_from_gcn"]
 
 
 @dataclass(frozen=True)
@@ -687,3 +688,20 @@ def aggregated_obs_equation(var: str, method: str, period: int) -> str:
     if method == "first":
         return lags[-1]
     raise ValueError(f"unknown aggregation method {method!r}")
+
+
+def statespace_from_gcn(source_or_path, verbose: bool = True,
+                        **configure_kwargs) -> DSGEStateSpace:
+    """Build a Model from GCN and wrap it for estimation in one call.
+
+    Role parity with ``gEconpy/model/build.py:566`` (statespace_from_gcn).
+    If ``configure_kwargs`` are given (at minimum ``observed_states``),
+    ``configure`` runs immediately; otherwise call it yourself.
+    """
+    from ..models.model import model_from_gcn
+
+    model = model_from_gcn(source_or_path, verbose=verbose)
+    ss = DSGEStateSpace(model)
+    if configure_kwargs:
+        ss.configure(**configure_kwargs)
+    return ss
