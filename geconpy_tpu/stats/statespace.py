@@ -122,9 +122,10 @@ class DSGEStateSpace:
         if unknown_obs:
             raise ValueError(f"observed_states not in model: {sorted(unknown_obs)}")
         self.observed_states = list(observed_states)
-        if filter_type not in ("sequential", "parallel", "steady_state"):
-            raise ValueError("filter_type must be 'sequential', 'parallel' "
-                             "or 'steady_state'")
+        if filter_type not in ("sequential", "parallel", "steady_state",
+                               "chandrasekhar"):
+            raise ValueError("filter_type must be 'sequential', 'parallel', "
+                             "'steady_state' or 'chandrasekhar'")
         self.filter_type = filter_type
         self.kalman_settle = int(kalman_settle)
         self.ss_obs_intercept = ss_obs_intercept
@@ -491,10 +492,13 @@ class DSGEStateSpace:
                 f"data must be (periods, {len(self.observed_states)}), got {y.shape}")
         solve_draw = self.build_solution_fn()
         filter_type = getattr(self, "filter_type", "sequential")
-        if filter_type == "steady_state" and bool(np.isnan(data).any()):
-            raise ValueError("filter_type='steady_state' requires fully "
+        if filter_type in ("steady_state", "chandrasekhar") \
+                and bool(np.isnan(data).any()):
+            raise ValueError(f"filter_type={filter_type!r} requires fully "
                              "observed data (no NaN); use 'sequential'")
-        if filter_type == "parallel":
+        if filter_type == "chandrasekhar":
+            from ..ops.chandrasekhar import chandrasekhar_loglik as _loglik
+        elif filter_type == "parallel":
             from ..ops.parallel_kalman import parallel_kalman_filter
 
             def _loglik(*args, **kw):

@@ -147,3 +147,49 @@ def test_statespace_steady_state_filter_option():
 
     with _pytest.raises(ValueError, match="fully observed"):
         ss_fast.build_logpost(bad)
+
+
+def test_chandrasekhar_exact_and_differentiable():
+    from geconpy_tpu.ops.chandrasekhar import chandrasekhar_loglik
+
+    T, R, Q, Z, H, d = make_system(seed=11)
+    y = simulate(T, R, Q, Z, H, d, 150, seed=12)
+    exact = float(kalman_filter(y, T, R, Q, Z, H, d=jnp.asarray(d)).loglik)
+    fast = float(chandrasekhar_loglik(y, T, R, Q, Z, H, d=jnp.asarray(d)))
+    np.testing.assert_allclose(fast, exact, rtol=1e-12)
+
+    g1 = float(jax.grad(lambda s: kalman_filter(
+        y, jnp.asarray(T) * s, R, Q, Z, H, d=jnp.asarray(d)).loglik)(1.0))
+    g2 = float(jax.grad(lambda s: chandrasekhar_loglik(
+        y, jnp.asarray(T) * s, R, Q, Z, H, d=jnp.asarray(d)))(1.0))
+    np.testing.assert_allclose(g2, g1, rtol=1e-8)
+
+    # vmap over draws
+    lls = jax.vmap(lambda s: chandrasekhar_loglik(
+        y, jnp.asarray(T) * s, R, Q, Z, H, d=jnp.asarray(d)))(
+        jnp.array([0.95, 1.0]))
+    assert bool(jnp.all(jnp.isfinite(lls)))
+
+
+def test_statespace_chandrasekhar_option():
+    import pathlib
+
+    import jax as _jax
+
+    from geconpy_tpu import model_from_gcn
+    from geconpy_tpu.stats.statespace import DSGEStateSpace
+
+    data_dir = pathlib.Path(__file__).parents[2] / "geconpy_tpu" / "data"
+    model = model_from_gcn(str(data_dir / "rbc_estimation.gcn"))
+    kwargs = dict(observed_states=["Y"], constant_params=["alpha", "sigma_C"])
+    ss_seq = DSGEStateSpace(model).configure(**kwargs)
+    ss_ch = DSGEStateSpace(model).configure(filter_type="chandrasekhar",
+                                            **kwargs)
+    data, draw = ss_seq.data_from_prior(_jax.random.PRNGKey(0), periods=150)
+    u = ss_seq.unconstrain(draw)
+    ll_seq = float(_jax.jit(ss_seq.build_logpost(data))(u))
+    ll_ch = float(_jax.jit(ss_ch.build_logpost(data))(u))
+    np.testing.assert_allclose(ll_ch, ll_seq, rtol=1e-10)
+    # gradient flows (exact, so NUTS can use it)
+    g = _jax.jit(_jax.grad(ss_ch.build_logpost(data)))(u)
+    assert np.all(np.isfinite(np.asarray(g)))
