@@ -71,7 +71,7 @@ def main():
     evals_per_sec = _measure(
         "sw2007",
         dict(observed_states=["y", "c", "inve", "w", "pinf", "r", "lab"],
-             filter_type="chandrasekhar",
+             filter_type="steady_state", kalman_settle=32,
              constant_params=constant),
     )
     us_per_draw = 1e6 / evals_per_sec

@@ -150,6 +150,14 @@ class Model:
         return self.functions.n_shocks
 
     @cached_property
+    def static_reduction(self):
+        """Structural static/dynamic split for the reduced policy solve."""
+        from ..ops.static_reduction import plan_static_reduction
+
+        return plan_static_reduction(self.primitives.equations,
+                                     self.functions.variables)
+
+    @cached_property
     def lead_var_idx(self):
         """Indices of variables appearing at t+1 (structural)."""
         import numpy as np
@@ -307,9 +315,12 @@ class Model:
             T, R, ok = jax.jit(solve_policy_backward)(A, B, D)
             success = bool(ok)
         else:
+            from ..ops.static_reduction import solve_policy_reduced
+
+            plan = self.static_reduction
             T, R, ok, n_iter, resid = jax.jit(
-                lambda a, b, c, d: solve_policy_cycle_reduction(
-                    a, b, c, d, tol=tol, maxiter=maxiter))(A, B, C, D)
+                lambda a, b, c, d: solve_policy_reduced(
+                    a, b, c, d, plan, tol=tol, maxiter=maxiter))(A, B, C, D)
             success = bool(ok)
 
         det_norm = float(jnp.max(jnp.abs(A + B @ T + C @ T @ T)))

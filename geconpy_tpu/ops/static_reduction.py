@@ -1,0 +1,150 @@
+"""Static-variable elimination before the policy solve.
+
+Role parity with the reference's DROrder block-triangular permutation
+(``gEconpy/model/model.py:172-250``) and Dynare's static/dynamic split: a
+variable that appears neither lagged nor led ("static") contributes zero
+columns to A and C, so a QR row transformation of B's static columns splits
+the system into
+
+    [ R_s  * ] [ s_t ]     top rows:    back out statics from dynamics
+    [ 0    * ] [ d_t ] ... bottom rows: a pure quadratic pencil in d only
+
+and the cycle-reduction / gensys solve runs on the n_d-dimensional dynamic
+core — an (n/n_d)^3 saving on the dominant kernel.  For SW-2007 this cuts
+the pencil from 33 to 23 variables.
+
+The split indices are *structural* (symbolic incidence, fixed at build), so
+everything stays static-shaped, jittable, and vmappable; the reduction is
+exact (validated to ~1e-10 against the unreduced solve).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cycle_reduction import cycle_reduction, selection_matrix
+from .precision import highest_precision
+
+__all__ = ["StaticReduction", "plan_static_reduction",
+           "solve_policy_reduced"]
+
+
+class StaticReduction(NamedTuple):
+    static_idx: np.ndarray     # variable indices with no lag and no lead
+    dynamic_idx: np.ndarray
+
+
+def plan_static_reduction(equations, variables) -> StaticReduction:
+    """Classify variables by structural incidence (host-side, build time)."""
+    from ..models.timing import structural_incidence
+
+    inc = structural_incidence(equations, variables)
+    has_lag = inc["lag"].any(axis=0)
+    has_lead = inc["lead"].any(axis=0)
+    static = np.flatnonzero(~has_lag & ~has_lead)
+    dynamic = np.flatnonzero(has_lag | has_lead)
+    return StaticReduction(static, dynamic)
+
+
+@jax.custom_vjp
+def _implicit_policy_T(A, B, C, T_primal):
+    """Identity on ``T_primal`` whose VJP is the full-system implicit adjoint
+    of  A + B T + C T² = 0  — the complete-QR row transform used by the
+    reduced primal has no JAX derivative, and differentiating through it
+    would be wasteful anyway."""
+    return T_primal
+
+
+def _ipt_fwd(A, B, C, T_primal):
+    return T_primal, (B, C, T_primal)
+
+
+@highest_precision
+def _ipt_bwd(residuals, T_bar):
+    B, C, T = residuals
+    n = T.shape[0]
+    M = B + C @ T
+    eye = jnp.eye(n, dtype=T.dtype)
+    # row-major vec:  (Mᵀ ⊗ I + Cᵀ ⊗ T) w = t_bar   (as in cycle_reduction)
+    S = jnp.kron(M.T, eye) + jnp.kron(C.T, T)
+    w = jnp.linalg.solve(S, T_bar.reshape(-1))
+    W = w.reshape(n, n)
+    return (-W, -W @ T.T, -W @ T.T @ T.T, jnp.zeros_like(T))
+
+
+_implicit_policy_T.defvjp(_ipt_fwd, _ipt_bwd)
+
+
+@highest_precision
+def solve_policy_reduced(A, B, C, D, plan: StaticReduction,
+                         tol: float = 1e-12, maxiter: int = 100):
+    """Policy solve with the static block eliminated.
+
+    Returns (T, R, success, n_iter, resid_norm) in the ORIGINAL variable
+    ordering, identical to ``solve_policy_cycle_reduction`` applied to the
+    full system.  Gradients attach at the full-system level (implicit
+    adjoint), so the non-differentiable complete-QR transform stays in the
+    primal only.
+    """
+    n = A.shape[0]
+    dtype = A.dtype
+    s_idx = jnp.asarray(plan.static_idx, dtype=jnp.int32)
+    d_idx = jnp.asarray(plan.dynamic_idx, dtype=jnp.int32)
+    n_s = len(plan.static_idx)
+    n_d = len(plan.dynamic_idx)
+
+    if n_s == 0:
+        from .cycle_reduction import solve_policy_cycle_reduction
+
+        return solve_policy_cycle_reduction(A, B, C, D, tol=tol,
+                                            maxiter=maxiter)
+
+    # the reduced computation is primal-only; gradients re-attach below
+    As, Bs, Cs, Ds = (jax.lax.stop_gradient(m) for m in (A, B, C, D))
+
+    B_stat = Bs[:, s_idx]                             # (n, n_s)
+    # QR of the static columns: Q^T B_s = [R_s; 0]
+    Q, R_full = jnp.linalg.qr(B_stat, mode="complete")  # Q (n,n), R (n,n_s)
+    R_s = R_full[:n_s, :]                             # (n_s, n_s) upper tri
+    Qt = Q.T
+
+    A_d = Qt @ As[:, d_idx]                           # (n, n_d)
+    B_d = Qt @ Bs[:, d_idx]
+    C_d = Qt @ Cs[:, d_idx]
+
+    A2, B2, C2 = A_d[n_s:], B_d[n_s:], C_d[n_s:]
+    A1, B1, C1 = A_d[:n_s], B_d[:n_s], C_d[:n_s]
+
+    cr = cycle_reduction(A2, B2, C2, tol=tol, maxiter=maxiter)
+    T_d = cr.T                                        # (n_d, n_d)
+
+    # statics: R_s s_t = -(A1 d_{t-1} + (B1 + C1 T_d) d_t + D1 eps)
+    M = B1 + C1 @ T_d
+    T_s = -jax.scipy.linalg.solve_triangular(R_s, A1 + M @ T_d, lower=False)
+
+    # scatter back to the original ordering; static columns are zero
+    T = jnp.zeros((n, n), dtype)
+    T = T.at[jnp.ix_(d_idx, d_idx)].set(T_d)
+    T = T.at[jnp.ix_(s_idx, d_idx)].set(T_s)
+
+    # re-attach gradients: T via the full-system implicit adjoint, R through
+    # the (differentiable) full-system selection solve
+    T = _implicit_policy_T(A, B, C, T)
+    R = selection_matrix(B, C, T, D)
+
+    from ..models.perturbation import spectral_radius
+
+    rho = spectral_radius(jax.lax.stop_gradient(T_d))
+    stable = jnp.isfinite(rho) & (rho < 1.0 + 1e-6)
+    Tsg = jax.lax.stop_gradient(T)
+    resid = jnp.max(jnp.abs(As + Bs @ Tsg + Cs @ Tsg @ Tsg))
+    from .tolerances import success_tol
+
+    success = cr.success & stable & jnp.isfinite(resid) & (
+        resid < success_tol(dtype, max(tol * 1e3, 1e-6))) \
+        & jnp.all(jnp.isfinite(R))
+    return T, R, success, cr.n_iter, resid

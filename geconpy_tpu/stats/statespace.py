@@ -424,11 +424,11 @@ class DSGEStateSpace:
                 T, R = gres.T, gres.R
                 solver_ok = gres.success
             else:
-                cr = cycle_reduction(lin.A, lin.B, lin.C, tol=cr_tol,
-                                     maxiter=cr_maxiter)
-                T = cr.T
-                R = selection_matrix(lin.B, lin.C, T, lin.D)
-                solver_ok = cr.success & jnp.all(jnp.isfinite(R))
+                from ..ops.static_reduction import solve_policy_reduced
+
+                T, R, solver_ok, _n_iter, _resid = solve_policy_reduced(
+                    lin.A, lin.B, lin.C, lin.D, model.static_reduction,
+                    tol=cr_tol, maxiter=cr_maxiter)
 
             rho = spectral_radius(jax.lax.stop_gradient(T))
             stable = jnp.isfinite(rho) & (rho < 1.0 - 1e-9)

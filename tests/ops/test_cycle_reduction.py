@@ -138,3 +138,32 @@ def test_lyapunov_gradient():
            - loss(jnp.asarray(T), jnp.asarray(Q - eps * VQ))) / (2 * eps)
     np.testing.assert_allclose(np.sum(np.asarray(gT) * VT), float(fdT), rtol=1e-4)
     np.testing.assert_allclose(np.sum(np.asarray(gQ) * VQ), float(fdQ), rtol=1e-4)
+
+
+def test_static_reduction_exact():
+    """QR static elimination gives the same policy as the full solve."""
+    from geconpy_tpu import get_example_gcn, model_from_gcn
+    from geconpy_tpu.ops.static_reduction import (
+        plan_static_reduction,
+        solve_policy_reduced,
+    )
+
+    m = model_from_gcn(get_example_gcn("nk_full"), verbose=False)
+    plan = plan_static_reduction(m.primitives.equations,
+                                 m.functions.variables)
+    assert len(plan.static_idx) >= 3
+    mats = m.linearize_model()
+    A, B, C, D = (jnp.asarray(mats[k].to_numpy()) for k in "ABCD")
+    T1, R1, ok1, *_ = solve_policy_cycle_reduction(A, B, C, D, tol=1e-14)
+    T2, R2, ok2, *_ = solve_policy_reduced(A, B, C, D, plan, tol=1e-14)
+    assert bool(ok1) and bool(ok2)
+    np.testing.assert_allclose(np.asarray(T2), np.asarray(T1), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(R2), np.asarray(R1), atol=1e-10)
+
+    # vmap-able and differentiable (implicit adjoints flow through)
+    def loss(scale):
+        T, R, ok, *_ = solve_policy_reduced(A * scale, B, C, D, plan)
+        return jnp.sum(T**2)
+
+    g = jax.grad(loss)(1.0)
+    assert np.isfinite(float(g))
