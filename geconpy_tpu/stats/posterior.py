@@ -127,7 +127,7 @@ def posterior_smoothed_states(ss_mod: DSGEStateSpace, result: PosteriorResult,
                               data: np.ndarray, max_draws: int | None = 200,
                               quantiles=(0.05, 0.5, 0.95)) -> pd.DataFrame:
     """Smoothed state paths over posterior draws (vmapped RTS smoother)."""
-    solve_draw = ss_mod.build_solution_fn()
+    solve_draw = ss_mod.build_solution_fn(full_state=True)
     mf = ss_mod.model.functions
     y = jnp.asarray(data)
     n = mf.n_variables

@@ -205,6 +205,31 @@ class DSGEStateSpace:
                 f"but only {mf.n_shocks} shocks + {n_me} measurement errors. "
                 f"Add shocks or measurement error.")
 
+        # ---- filter-core reduction: when every observable references only
+        # dynamic variables (no static loads), the Kalman state can be the
+        # dynamic core of the policy (statics are outputs, not states)
+        plan = model.static_reduction
+        dynamic_names = {mf.variable_names[i] for i in plan.dynamic_idx}
+        obs_refs: set[str] = set()
+        for name in self.observed_states:
+            if name in self._obs_fns:
+                continue
+            obs_refs.add(name)
+        if observation_equations:
+            from ..lang.parser import parse_expression
+            from ..lang.sympify import SympyConverter
+            from ..symbolic import TimeAwareSymbol
+
+            conv = SympyConverter(model.primitives.assumptions)
+            for src in observation_equations.values():
+                expr = conv.convert(parse_expression(src))
+                obs_refs |= {a.base_name for a in expr.atoms(TimeAwareSymbol)}
+        if self.solver == "cycle_reduction" and obs_refs <= dynamic_names \
+                and len(plan.static_idx):
+            self._filter_core = np.asarray(plan.dynamic_idx)
+        else:
+            self._filter_core = np.arange(mf.n_variables)
+
         k = len(self.observed_states)
         self._configured = True
         _log.info("configured: %d observables, %d estimated parameters "
@@ -268,15 +293,21 @@ class DSGEStateSpace:
             for name, expr in parsed.items()
         }
 
-    def _build_design(self, x_ss, theta_full, scale):
-        """(Z, d): design over the lag-augmented state and the SS intercept.
+    def _build_design(self, x_ss, theta_full, scale, core=None):
+        """(Z, d): design over the lag-augmented filter state and the SS
+        intercept.
 
-        Z has shape (k_obs, (L+1) * n); direct-state rows select the current
-        block; observation-equation rows get exact jacfwd coefficients times
-        the log-linearization scale (chain rule dy/dy_hat = scale).
+        Z has shape (k_obs, (L+1) * n_core) where n_core is the filter core
+        (the dynamic variables when no observable loads on statics, else all
+        variables); observation-equation rows get exact jacfwd coefficients
+        times the log-linearization scale (chain rule dy/dy_hat = scale).
         """
         mf = self.model.functions
         n = mf.n_variables
+        if core is None:
+            core = getattr(self, "_filter_core", np.arange(n))
+        core_j = jnp.asarray(core, dtype=jnp.int32)
+        n_core = len(core)
         L = self._obs_max_lag
         k = len(self.observed_states)
         dtype = x_ss.dtype
@@ -290,11 +321,13 @@ class DSGEStateSpace:
                     jax.jacfwd(fn.fn, argnums=j)(*ss_blocks, theta_full)[0]
                     for j in range(L + 1)
                 ]
-                row = jnp.concatenate([g * scale for g in grads])
+                row = jnp.concatenate([(g * scale)[core_j] for g in grads])
                 intercept = fn.fn(*ss_blocks, theta_full)[0]
             else:
                 idx = mf.variable_names.index(name)
-                row = jnp.zeros(((L + 1) * n,), dtype).at[idx].set(1.0)
+                full_row = jnp.zeros((n,), dtype).at[idx].set(1.0)
+                row = jnp.zeros(((L + 1) * n_core,), dtype) \
+                    .at[:n_core].set(full_row[core_j])
                 intercept = x_ss[idx]
             rows.append(row)
             intercepts.append(intercept)
@@ -368,7 +401,8 @@ class DSGEStateSpace:
 
         return logpost
 
-    def build_solution_fn(self) -> Callable[[jnp.ndarray], dict]:
+    def build_solution_fn(self, full_state: bool = False
+                          ) -> Callable[[jnp.ndarray], dict]:
         """Jittable ``u (unconstrained) -> full state-space solution dict``.
 
         Returns every per-draw quantity the posterior tooling needs:
@@ -395,6 +429,10 @@ class DSGEStateSpace:
         use_backward = self.solver == "backward"
         use_gensys = self.solver == "gensys"
         gensys_solver = model.gensys_solver if use_gensys else None
+        if full_state:
+            filter_core = np.arange(model.functions.n_variables)
+        else:
+            filter_core = self._filter_core
 
         @highest_precision
         def solve_draw(u: jnp.ndarray) -> dict:
@@ -454,12 +492,17 @@ class DSGEStateSpace:
             H = jnp.diag(h_diag)
 
             # design matrix / intercept from observation equations (exact
-            # jacfwd coefficients at the SS) + lag-block state augmentation
+            # jacfwd coefficients at the SS) + lag-block state augmentation.
+            # The filter state is the dynamic core when observables permit.
+            core = jnp.asarray(filter_core, dtype=jnp.int32)
+            T_f = T[jnp.ix_(core, core)]
+            R_f = R[core, :]
             Z, d_vec = self._build_design(ss.x_ss, ss.theta_full,
-                                          lin.loglin_scale)
+                                          lin.loglin_scale,
+                                          core=filter_core)
             # guard the Lyapunov solve against explosive T
-            T_safe = jnp.where(stable, T, jnp.zeros_like(T))
-            T_aug, R_aug = self._augment_lags(T_safe, R, obs_max_lag)
+            T_safe = jnp.where(stable, T_f, jnp.zeros_like(T_f))
+            T_aug, R_aug = self._augment_lags(T_safe, R_f, obs_max_lag)
 
             return {
                 "x": x,
@@ -609,7 +652,7 @@ class DSGEStateSpace:
                     v = p_.initial if p_.initial is not None else p_.prior.mean()
                     vals.append(float(v))
             u = self.unconstrain(np.asarray(vals))
-        sol = jax.jit(self.build_solution_fn())(u)
+        sol = jax.jit(self.build_solution_fn(full_state=True))(u)
         y = jnp.asarray(data)
         res = _kf(y, sol["T_aug"], sol["R_aug"], sol["Q"], sol["Z"],
                   sol["H"], d=sol["d"])
@@ -662,7 +705,8 @@ class DSGEStateSpace:
 
         T_aug, R_aug = self._augment_lags(cr.T, R, self._obs_max_lag)
         Z, d_vec = self._build_design(sol.x_ss, sol.theta_full,
-                                      lin.loglin_scale)
+                                      lin.loglin_scale,
+                                      core=np.arange(mf.n_variables))
         path = np.asarray(simulate_linear(T_aug, R_aug, jnp.asarray(eps)))
         data = path @ np.asarray(Z).T + np.asarray(d_vec)[None, :]
         for j, v in self._me_fixed.items():

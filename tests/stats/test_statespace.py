@@ -126,3 +126,27 @@ def test_gensys_solver_in_statespace(ss_mod, dataset):
     ll_cr = float(jax.jit(ss_mod.build_logpost(data))(u))
     ll_gs = float(jax.jit(ss_g.build_logpost(data))(u))
     np.testing.assert_allclose(ll_gs, ll_cr, rtol=1e-7)
+
+
+def test_filter_core_reduction_parity():
+    """When all observables are dynamic, the filter runs on the dynamic
+    core; the likelihood must equal the full-state filter exactly."""
+    from geconpy_tpu import get_example_gcn, model_from_gcn
+
+    model = model_from_gcn(get_example_gcn("sw2007"), verbose=False)
+    estimated = ["crhoa", "sigma_ea", "crr"]
+    constant = [p for p in model.param_names if p not in estimated]
+    kwargs = dict(observed_states=["y", "pinf", "r"], constant_params=constant)
+    ss_c = DSGEStateSpace(model).configure(**kwargs)
+    assert len(ss_c._filter_core) < model.n_variables  # reduction active
+    data, draw = ss_c.data_from_prior(jax.random.PRNGKey(0), periods=80)
+    u = ss_c.unconstrain(draw)
+    ll_core = float(jax.jit(ss_c.build_logpost_extras(data))(u).loglik)
+
+    # full-state solution fn through the same Kalman kernel
+    from geconpy_tpu.ops.kalman import kalman_filter as _kf
+
+    sol = jax.jit(ss_c.build_solution_fn(full_state=True))(u)
+    ll_full = float(_kf(jnp.asarray(data), sol["T_aug"], sol["R_aug"],
+                        sol["Q"], sol["Z"], sol["H"], d=sol["d"]).loglik)
+    np.testing.assert_allclose(ll_core, ll_full, rtol=1e-9)
