@@ -54,11 +54,11 @@ def _cycle_reduction_raw(A, B, C, tol: float, maxiter: int):
     tol = max(tol, 10 * float(np.finfo(np.dtype(dtype)).eps))
 
     def cond(state):
-        A0, A1, A2, Ahat, it, done = state
+        A0, A1, A2, Ahat, it, best_crit, done = state
         return (~done) & (it < maxiter)
 
     def body(state):
-        A0, A1, A2, Ahat, it, done = state
+        A0, A1, A2, Ahat, it, best_crit, done = state
         # one LU factorization reused for both right-hand sides
         rhs = jnp.concatenate([A0, A2], axis=1)          # (n, 2n)
         Q = jnp.linalg.solve(A1, rhs)
@@ -71,12 +71,20 @@ def _cycle_reduction_raw(A, B, C, tol: float, maxiter: int):
         crit = jnp.max(jnp.abs(A0_new)) + jnp.max(jnp.abs(A2_new))
         finite = jnp.isfinite(crit)
         converged = finite & (crit < tol)
-        return (A0_new, A1_new, A2_new, Ahat_new, it + 1, converged | ~finite)
+        best_crit = jnp.where(finite, jnp.minimum(best_crit, crit), best_crit)
+        return (A0_new, A1_new, A2_new, Ahat_new, it + 1, best_crit,
+                converged | ~finite)
 
-    state0 = (A, B, C, B, jnp.asarray(0), jnp.asarray(False))
-    A0f, A1f, A2f, Ahatf, n_iter, _ = jax.lax.while_loop(cond, body, state0)
+    state0 = (A, B, C, B, jnp.asarray(0), jnp.asarray(jnp.inf, A.dtype),
+              jnp.asarray(False))
+    A0f, A1f, A2f, Ahatf, n_iter, best_crit, _ = jax.lax.while_loop(
+        cond, body, state0)
     T = -jnp.linalg.solve(Ahatf, A)
-    return T, n_iter
+    # best_crit separates the two ways the loop can hit a non-finite step:
+    # a *divergent* run (no stable solvent exists; tails grow from O(1) and
+    # T is the explosive root — best_crit stays O(1)) vs a benign breakdown
+    # after the tails already shrank (A1_inf near-singular; T is fine).
+    return T, n_iter, best_crit
 
 
 @highest_precision
@@ -91,8 +99,8 @@ def _cycle_reduction_T(A, B, C, tol: float, maxiter: int):
 
 
 def _cr_fwd(A, B, C, tol, maxiter):
-    T, n_iter = _cycle_reduction_T(A, B, C, tol, maxiter)
-    return (T, n_iter), (B, C, T)
+    T, n_iter, best_crit = _cycle_reduction_T(A, B, C, tol, maxiter)
+    return (T, n_iter, best_crit), (B, C, T)
 
 
 @highest_precision
@@ -103,7 +111,7 @@ def _cr_bwd(tol, maxiter, residuals, cotangents):
     fine at DSGE scale n ≲ 100 — a Bartels-Stewart path can replace it for
     larger systems.)
     """
-    T_bar, _ = cotangents  # n_iter carries no gradient
+    T_bar, _, _ = cotangents  # n_iter / best_crit carry no gradient
     B, C, T = residuals
     n = T.shape[0]
     M = B + C @ T
@@ -128,14 +136,16 @@ def cycle_reduction(A, B, C, tol: float = 1e-12, maxiter: int = 100
     """Solve ``A + B T + C T² = 0`` for the minimal solvent.
 
     Differentiable (analytic implicit adjoint).  ``success`` is False when the
-    iteration diverged or the residual check fails.
+    iteration diverged (tails blew up — the pencil has no stable solvent, so
+    any residual-consistent T it lands on is the explosive root) or the
+    residual check fails.
     """
-    T, n_iter = _cycle_reduction_T(A, B, C, tol, maxiter)
+    T, n_iter, best_crit = _cycle_reduction_T(A, B, C, tol, maxiter)
     from .tolerances import success_tol
 
+    thresh = success_tol(A.dtype, max(tol * 1e3, 1e-6))
     resid = _policy_residual_norm(A, B, C, jax.lax.stop_gradient(T))
-    success = jnp.isfinite(resid) & (
-        resid < success_tol(A.dtype, max(tol * 1e3, 1e-6)))
+    success = (best_crit < thresh) & jnp.isfinite(resid) & (resid < thresh)
     return CycleReductionResult(T, success, n_iter, resid)
 
 

@@ -12,15 +12,22 @@ from geconpy_tpu.ops.lyapunov import solve_discrete_lyapunov
 
 
 def make_stable_quadratic(n, seed=0):
-    """Construct (A, B, C) with a known stable solvent T."""
+    """Construct (A, B, C) with a known stable MINIMAL solvent T.
+
+    Cycle reduction needs a proper unit-circle dichotomy (n roots inside,
+    n outside — the determinacy condition), so both solvents are
+    prescribed:  Q(z) = C (zI - U)(zI - T)  with rho(T) < 1 < min|eig(U)|,
+    giving  A = C U T,  B = -C (U + T).
+    """
     rng = np.random.default_rng(seed)
-    # pick a stable T and a well-conditioned B; back out A = -(B T + C T^2)
     Tv = rng.normal(size=(n, n))
     Tv = 0.5 * Tv / np.abs(np.linalg.eigvals(Tv)).max()
-    B = np.eye(n) + 0.1 * rng.normal(size=(n, n))
-    C = 0.3 * rng.normal(size=(n, n))
-    A = -(B @ Tv + C @ Tv @ Tv)
-    return jnp.asarray(A), jnp.asarray(B), jnp.asarray(C), Tv
+    U = rng.normal(size=(n, n))
+    U = 2.0 * U / np.abs(np.linalg.eigvals(U)).min()   # anti-stable
+    Cm = np.eye(n) + 0.1 * rng.normal(size=(n, n))
+    A = Cm @ U @ Tv
+    B = -Cm @ (U + Tv)
+    return jnp.asarray(A), jnp.asarray(B), jnp.asarray(Cm), Tv
 
 
 def test_cycle_reduction_solves_quadratic():
