@@ -32,18 +32,30 @@ def _measure(model_name: str, configure_kwargs: dict, batch_size: int = 4096,
 
     # simulated dataset (host-side, not timed)
     data, draw = ss.data_from_prior(jax.random.PRNGKey(0), periods=periods)
-    logpost = ss.build_logpost(np.asarray(data, dtype=np.float32))
 
     u0 = ss.unconstrain(draw).astype(jnp.float32)
     key = jax.random.PRNGKey(1)
     batch = u0[None, :] + 0.05 * jax.random.normal(
         key, (batch_size, u0.shape[0]), dtype=jnp.float32)
 
-    fn = jax.jit(jax.vmap(logpost))
+    # batched sweep path: vmapped steady-state/linearize + lane-batched
+    # Pallas cycle reduction + fused Pallas constant-gain filter tail
+    fn = jax.jit(ss.build_batched_loglik(
+        np.asarray(data, dtype=np.float32),
+        n_settle=ss.kalman_settle, policy="pallas"))
     out = jax.block_until_ready(fn(batch))  # compile + sanity
     n_finite = int(jnp.sum(jnp.isfinite(out)))
     assert n_finite > batch_size // 2, \
         f"{model_name}: only {n_finite} finite logposts"
+
+    # cross-check a handful of draws against the reference (gradient-capable)
+    # logpost path: same solve + filter through independent XLA kernels
+    logpost = ss.build_logpost(np.asarray(data, dtype=np.float32))
+    ref = jax.jit(jax.vmap(logpost))(batch[:64])
+    both = np.isfinite(np.asarray(ref)) & np.isfinite(np.asarray(out[:64]))
+    assert both.mean() > 0.9, f"{model_name}: paths disagree on finiteness"
+    rel = np.max(np.abs((np.asarray(out[:64]) - np.asarray(ref))[both]))
+    assert rel < 1.0, f"{model_name}: batched path off by {rel}"
 
     start = time.perf_counter()
     for _ in range(n_reps):

@@ -3,21 +3,18 @@
 The policy solve's dominant cost is the batched small LU solve inside each
 cycle-reduction iteration — XLA lowers (batch, n, 2n) pivoted LU poorly for
 n ~ 25.  This kernel keeps the whole iteration on-chip with the batch in the
-128-lane dimension and replaces the pivoted LU with **pivot-free
-Gauss-Jordan elimination** after a *static* row permutation:
+128-lane dimension and replaces the batched LU with **Gauss-Jordan
+elimination with per-lane partial pivoting**: each draw independently
+argmaxes its remaining pivot column and swaps rows via one-hot masked
+writes, so the elimination is LU-stable for every batch element without
+any data movement off the VPU lanes (the DSGE pencil's B matrix has
+structural zero pivots, so pivoting is required, and near-unit-root draws
+develop small pivots mid-iteration that a static ordering cannot fix).
 
-- the zero pivots in the DSGE pencil's B matrix are *structural* (equations
-  with no contemporaneous loading on the matching variable), identical for
-  every draw, so one host-side LU of the calibration-point pencil yields a
-  row ordering that keeps pivots bounded away from zero for the entire
-  parameter region (validated: min pivot 7e-4 over ±15%-jittered SW-2007
-  pencils, T agreeing with pivoted LU to 2e-12 in f64 / 7e-5 in f32);
-- later cycle-reduction iterates A1_k are generically dense and
-  well-conditioned (A1_k -> A1_inf quadratically), so no re-pivoting is
-  needed;
-- the minimum |pivot| encountered folds into the success flag, so the rare
-  ill-conditioned draw is rejected (flagged) instead of silently degrading —
-  the XLA path remains the default for gradient-bearing work.
+The minimum |pivot| encountered and the final lag/lead tail norms fold
+into the success flag, so genuinely singular draws are rejected (flagged)
+instead of silently degrading — the XLA path remains the default for
+gradient-bearing work.
 
 Every operation is an n^3-FMA lane contraction — pure VPU work with zero
 HBM traffic between iterations.  Role parity with
@@ -52,41 +49,69 @@ def static_pivot_order(B_calib: np.ndarray) -> np.ndarray:
 
 
 def _mm(A, B, n):
-    """Lane-layout matmul: (n,n,BT) @ (n,m,BT) -> (n,m,BT)."""
+    """Lane-layout matmul: (n,n,BT) @ (n,m,BT) -> (n,m,BT).
 
-    def row(i, acc):
-        acc = jax.lax.dynamic_update_slice_in_dim(
-            acc, jnp.sum(jax.lax.dynamic_index_in_dim(
-                A, i, axis=0, keepdims=True)[0][:, None, :] * B,
-                axis=0)[None], i, axis=0)
-        return acc
+    Sum of outer products over the contraction index; extraction is done
+    with one-hot masks (Mosaic TPU has no dynamic_slice inside kernels).
+    """
+    rows_a = jax.lax.broadcasted_iota(jnp.int32, A.shape[:2], 1)[..., None]
+    rows_b = jax.lax.broadcasted_iota(jnp.int32, B.shape[:2], 0)[..., None]
+    zero_a = jnp.zeros_like(A)
+    zero_b = jnp.zeros_like(B)
 
-    return jax.lax.fori_loop(0, n, row, jnp.zeros(
+    def step(l, acc):
+        a_col = jnp.sum(jnp.where(rows_a == l, A, zero_a), axis=1)  # (n, BT)
+        b_row = jnp.sum(jnp.where(rows_b == l, B, zero_b), axis=0)  # (m, BT)
+        return acc + a_col[:, None, :] * b_row[None, :, :]
+
+    return jax.lax.fori_loop(0, n, step, jnp.zeros(
         (n,) + B.shape[1:], B.dtype))
 
 
 def _gj_solve(A1, RHS, n):
-    """Pivot-free Gauss-Jordan: (n,n,BT), (n,m,BT) -> (A1^{-1} RHS, min|piv|).
+    """Partially-pivoted Gauss-Jordan:
+    (n,n,BT), (n,m,BT) -> (A1^{-1} RHS, min|piv|).
 
-    Row k is normalized then eliminated from every other row via one
-    lane-broadcast rank-1 update; 3 n^3 BT FMAs total for m = 2n.
+    Per-lane partial pivoting: each batch element independently argmaxes
+    its remaining column, swaps via one-hot masked writes, then the pivot
+    row is normalized and eliminated from every other row with one
+    lane-broadcast rank-1 update.  All row/column movement is one-hot
+    masked reductions — no dynamic slicing (unsupported in Mosaic).
     """
     aug = jnp.concatenate([A1, RHS], axis=1)          # (n, n+m, BT)
     bt = aug.shape[-1]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    m = aug.shape[1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)[..., None]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)[..., None]
+    rows1 = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    cols1 = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    zero = jnp.zeros_like(aug)
 
     def step(k, carry):
         aug, minpiv = carry
-        row_k = jax.lax.dynamic_index_in_dim(aug, k, axis=0,
-                                             keepdims=True)[0]   # (n+m, BT)
-        piv = jax.lax.dynamic_index_in_dim(row_k, k, axis=0,
-                                           keepdims=True)[0]     # (BT,)
-        r = row_k / piv[None, :]
-        col = jax.lax.dynamic_index_in_dim(aug, k, axis=1,
-                                           keepdims=True)[:, 0]  # (n, BT)
-        col = jnp.where(rows == k, jnp.zeros_like(col), col)
+        colk = jnp.sum(jnp.where(cols == k, aug, zero), axis=1)   # (n, BT)
+        # per-lane pivot choice among rows >= k
+        mag = jnp.where(rows1 >= k, jnp.abs(colk),
+                        jnp.full_like(colk, -1.0))
+        p = jnp.argmax(mag, axis=0)                               # (BT,)
+        pmask = rows1 == p[None, :]                               # (n, BT)
+        row_p = jnp.sum(jnp.where(pmask[:, None, :], aug, zero),
+                        axis=0)                                   # (m, BT)
+        row_k = jnp.sum(jnp.where(rows == k, aug, zero), axis=0)  # (m, BT)
+        # swap rows k and p (identical writes when p == k)
+        aug = jnp.where(rows == k, row_p[None, :, :], aug)
+        aug = jnp.where(pmask[:, None, :], row_k[None, :, :], aug)
+
+        piv = jnp.sum(jnp.where(cols1 == k, row_p,
+                                jnp.zeros_like(row_p)), axis=0)   # (BT,)
+        r = row_p / piv[None, :]
+        # column k after the swap: entry p picks up old aug[k, k]
+        colk_k = jnp.sum(jnp.where(rows1 == k, colk,
+                                   jnp.zeros_like(colk)), axis=0)  # (BT,)
+        col = jnp.where(pmask, colk_k[None, :], colk)
+        col = jnp.where(rows1 == k, jnp.zeros_like(col), col)
         aug = aug - col[:, None, :] * r[None, :, :]
-        aug = jax.lax.dynamic_update_slice_in_dim(aug, r[None], k, axis=0)
+        aug = jnp.where(rows == k, r[None, :, :], aug)
         return aug, jnp.minimum(minpiv, jnp.abs(piv))
 
     aug, minpiv = jax.lax.fori_loop(
@@ -132,8 +157,10 @@ def pallas_cycle_reduction(A, B, C, order: np.ndarray | None = None,
                            interpret: bool = False):
     """Batched cycle reduction: (B, n, n) x3 -> (T, success).
 
-    ``order`` is the static row permutation from :func:`static_pivot_order`
-    (identity if None).  Permuting equations leaves the solvent T unchanged.
+    ``order`` optionally pre-permutes equations (e.g. from
+    :func:`static_pivot_order`) — unnecessary for correctness now that the
+    elimination pivots per lane, but kept for reduced early-step growth.
+    Permuting equations leaves the solvent T unchanged.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu

@@ -29,7 +29,8 @@ import numpy as np
 from .cycle_reduction import cycle_reduction, selection_matrix
 from .precision import highest_precision
 
-__all__ = ["StaticReduction", "plan_static_reduction",
+__all__ = ["StaticReduction", "ReducedPencil", "plan_static_reduction",
+           "reduce_pencil", "policy_from_reduced", "finalize_reduced_policy",
            "solve_policy_reduced"]
 
 
@@ -79,58 +80,63 @@ def _ipt_bwd(residuals, T_bar):
 _implicit_policy_T.defvjp(_ipt_fwd, _ipt_bwd)
 
 
-@highest_precision
-def solve_policy_reduced(A, B, C, D, plan: StaticReduction,
-                         tol: float = 1e-12, maxiter: int = 100):
-    """Policy solve with the static block eliminated.
+class ReducedPencil(NamedTuple):
+    """Row-transformed pencil split into static (1) and dynamic (2) rows."""
+    A2: jax.Array     # (n_d, n_d) pure dynamic quadratic pencil
+    B2: jax.Array
+    C2: jax.Array
+    A1: jax.Array     # (n_s, n_d) rows that back out the statics
+    B1: jax.Array
+    C1: jax.Array
+    R_s: jax.Array    # (n_s, n_s) upper-triangular static leading block
 
-    Returns (T, R, success, n_iter, resid_norm) in the ORIGINAL variable
-    ordering, identical to ``solve_policy_cycle_reduction`` applied to the
-    full system.  Gradients attach at the full-system level (implicit
-    adjoint), so the non-differentiable complete-QR transform stays in the
-    primal only.
-    """
-    n = A.shape[0]
-    dtype = A.dtype
+
+@highest_precision
+def reduce_pencil(A, B, C, plan: StaticReduction) -> ReducedPencil:
+    """Complete-QR row transform eliminating the static columns (primal
+    only — no JAX derivative; callers stop_gradient the inputs)."""
     s_idx = jnp.asarray(plan.static_idx, dtype=jnp.int32)
     d_idx = jnp.asarray(plan.dynamic_idx, dtype=jnp.int32)
     n_s = len(plan.static_idx)
-    n_d = len(plan.dynamic_idx)
 
-    if n_s == 0:
-        from .cycle_reduction import solve_policy_cycle_reduction
-
-        return solve_policy_cycle_reduction(A, B, C, D, tol=tol,
-                                            maxiter=maxiter)
-
-    # the reduced computation is primal-only; gradients re-attach below
-    As, Bs, Cs, Ds = (jax.lax.stop_gradient(m) for m in (A, B, C, D))
-
-    B_stat = Bs[:, s_idx]                             # (n, n_s)
+    B_stat = B[:, s_idx]                              # (n, n_s)
     # QR of the static columns: Q^T B_s = [R_s; 0]
     Q, R_full = jnp.linalg.qr(B_stat, mode="complete")  # Q (n,n), R (n,n_s)
     R_s = R_full[:n_s, :]                             # (n_s, n_s) upper tri
     Qt = Q.T
 
-    A_d = Qt @ As[:, d_idx]                           # (n, n_d)
-    B_d = Qt @ Bs[:, d_idx]
-    C_d = Qt @ Cs[:, d_idx]
+    A_d = Qt @ A[:, d_idx]                            # (n, n_d)
+    B_d = Qt @ B[:, d_idx]
+    C_d = Qt @ C[:, d_idx]
+    return ReducedPencil(A_d[n_s:], B_d[n_s:], C_d[n_s:],
+                         A_d[:n_s], B_d[:n_s], C_d[:n_s], R_s)
 
-    A2, B2, C2 = A_d[n_s:], B_d[n_s:], C_d[n_s:]
-    A1, B1, C1 = A_d[:n_s], B_d[:n_s], C_d[:n_s]
 
-    cr = cycle_reduction(A2, B2, C2, tol=tol, maxiter=maxiter)
-    T_d = cr.T                                        # (n_d, n_d)
-
+@highest_precision
+def policy_from_reduced(T_d, red: ReducedPencil, plan: StaticReduction,
+                        n: int):
+    """Back out statics and scatter T_d into the original variable order."""
+    dtype = T_d.dtype
+    s_idx = jnp.asarray(plan.static_idx, dtype=jnp.int32)
+    d_idx = jnp.asarray(plan.dynamic_idx, dtype=jnp.int32)
     # statics: R_s s_t = -(A1 d_{t-1} + (B1 + C1 T_d) d_t + D1 eps)
-    M = B1 + C1 @ T_d
-    T_s = -jax.scipy.linalg.solve_triangular(R_s, A1 + M @ T_d, lower=False)
-
+    M = red.B1 + red.C1 @ T_d
+    T_s = -jax.scipy.linalg.solve_triangular(red.R_s, red.A1 + M @ T_d,
+                                             lower=False)
     # scatter back to the original ordering; static columns are zero
     T = jnp.zeros((n, n), dtype)
     T = T.at[jnp.ix_(d_idx, d_idx)].set(T_d)
     T = T.at[jnp.ix_(s_idx, d_idx)].set(T_s)
+    return T
 
+
+@highest_precision
+def finalize_reduced_policy(A, B, C, D, T, T_d, cr_success,
+                            tol: float = 1e-12):
+    """Full-system gradient re-attachment, selection matrix, and success
+    flag shared by the XLA and Pallas reduced policy solves."""
+    dtype = A.dtype
+    As, Bs, Cs = (jax.lax.stop_gradient(m) for m in (A, B, C))
     # re-attach gradients: T via the full-system implicit adjoint, R through
     # the (differentiable) full-system selection solve
     T = _implicit_policy_T(A, B, C, T)
@@ -144,7 +150,37 @@ def solve_policy_reduced(A, B, C, D, plan: StaticReduction,
     resid = jnp.max(jnp.abs(As + Bs @ Tsg + Cs @ Tsg @ Tsg))
     from .tolerances import success_tol
 
-    success = cr.success & stable & jnp.isfinite(resid) & (
+    success = cr_success & stable & jnp.isfinite(resid) & (
         resid < success_tol(dtype, max(tol * 1e3, 1e-6))) \
         & jnp.all(jnp.isfinite(R))
+    return T, R, success, resid
+
+
+@highest_precision
+def solve_policy_reduced(A, B, C, D, plan: StaticReduction,
+                         tol: float = 1e-12, maxiter: int = 100):
+    """Policy solve with the static block eliminated.
+
+    Returns (T, R, success, n_iter, resid_norm) in the ORIGINAL variable
+    ordering, identical to ``solve_policy_cycle_reduction`` applied to the
+    full system.  Gradients attach at the full-system level (implicit
+    adjoint), so the non-differentiable complete-QR transform stays in the
+    primal only.
+    """
+    n = A.shape[0]
+    n_s = len(plan.static_idx)
+
+    if n_s == 0:
+        from .cycle_reduction import solve_policy_cycle_reduction
+
+        return solve_policy_cycle_reduction(A, B, C, D, tol=tol,
+                                            maxiter=maxiter)
+
+    # the reduced computation is primal-only; gradients re-attach below
+    As, Bs, Cs = (jax.lax.stop_gradient(m) for m in (A, B, C))
+    red = reduce_pencil(As, Bs, Cs, plan)
+    cr = cycle_reduction(red.A2, red.B2, red.C2, tol=tol, maxiter=maxiter)
+    T = policy_from_reduced(cr.T, red, plan, n)
+    T, R, success, resid = finalize_reduced_policy(
+        A, B, C, D, T, cr.T, cr.success, tol=tol)
     return T, R, success, cr.n_iter, resid

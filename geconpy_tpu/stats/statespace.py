@@ -411,6 +411,19 @@ class DSGEStateSpace:
         and the residual-norm diagnostics.  ``build_logpost_extras`` is a
         thin Kalman-likelihood layer over this.
         """
+        pre_policy, policy, post_policy = self._solution_pieces(full_state)
+
+        def solve_draw(u: jnp.ndarray) -> dict:
+            pre = pre_policy(u)
+            T, R, solver_ok = policy(pre)
+            return post_policy(pre, T, R, solver_ok)
+
+        return solve_draw
+
+    def _solution_pieces(self, full_state: bool = False):
+        """The solution pipeline split at the policy solve, so batched
+        sweeps can swap the vmapped XLA policy step for the lane-batched
+        Pallas cycle-reduction kernel: (pre_policy, policy, post_policy)."""
         if not self._configured:
             raise RuntimeError("call .configure(...) first")
         model = self.model
@@ -435,7 +448,7 @@ class DSGEStateSpace:
             filter_core = self._filter_core
 
         @highest_precision
-        def solve_draw(u: jnp.ndarray) -> dict:
+        def pre_policy(u: jnp.ndarray) -> dict:
             dtype = u.dtype
             # unconstrained -> constrained + prior logpdf with jacobian
             logprior = jnp.asarray(0.0, dtype)
@@ -450,35 +463,49 @@ class DSGEStateSpace:
             if est_idx is not None:
                 theta_free = theta_free.at[est_idx].set(x[:n_model_est])
 
-            # steady state -> linearize -> policy
+            # steady state -> linearize
             ss = ss_solver(theta_free)
             lin = linearize(ss.x_ss, ss.theta_full)
+            return {"x": x, "logprior": logprior, "theta_full": ss.theta_full,
+                    "x_ss": ss.x_ss, "ss_success": ss.success,
+                    "A": lin.A, "B": lin.B, "C": lin.C, "D": lin.D,
+                    "loglin_scale": lin.loglin_scale}
+
+        @highest_precision
+        def policy(pre: dict):
             if use_backward:
-                T = -jnp.linalg.solve(lin.B, lin.A)
-                R = -jnp.linalg.solve(lin.B, lin.D)
+                T = -jnp.linalg.solve(pre["B"], pre["A"])
+                R = -jnp.linalg.solve(pre["B"], pre["D"])
                 solver_ok = jnp.all(jnp.isfinite(T)) & jnp.all(jnp.isfinite(R))
             elif use_gensys:
-                gres = gensys_solver(lin.A, lin.B, lin.C, lin.D)
+                gres = gensys_solver(pre["A"], pre["B"], pre["C"], pre["D"])
                 T, R = gres.T, gres.R
                 solver_ok = gres.success
             else:
                 from ..ops.static_reduction import solve_policy_reduced
 
                 T, R, solver_ok, _n_iter, _resid = solve_policy_reduced(
-                    lin.A, lin.B, lin.C, lin.D, model.static_reduction,
-                    tol=cr_tol, maxiter=cr_maxiter)
+                    pre["A"], pre["B"], pre["C"], pre["D"],
+                    model.static_reduction, tol=cr_tol, maxiter=cr_maxiter)
+            return T, R, solver_ok
 
+        @highest_precision
+        def post_policy(pre: dict, T, R, solver_ok) -> dict:
+            x = pre["x"]
+            dtype = x.dtype
+            lin_A, lin_B, lin_C, lin_D = (pre["A"], pre["B"], pre["C"],
+                                          pre["D"])
             rho = spectral_radius(jax.lax.stop_gradient(T))
             stable = jnp.isfinite(rho) & (rho < 1.0 - 1e-9)
 
-            det_norm = jnp.max(jnp.abs(lin.A + lin.B @ T + lin.C @ T @ T))
-            stoch_norm = jnp.max(jnp.abs((lin.B + lin.C @ T) @ R + lin.D))
+            det_norm = jnp.max(jnp.abs(lin_A + lin_B @ T + lin_C @ T @ T))
+            stoch_norm = jnp.max(jnp.abs((lin_B + lin_C @ T) @ R + lin_D))
 
             # shock covariance
             sigmas = []
             for kind, val in sigma_source:
                 if kind == "param":
-                    sigmas.append(ss.theta_full[val])
+                    sigmas.append(pre["theta_full"][val])
                 else:
                     sigmas.append(jnp.asarray(val, dtype))
             Q = jnp.diag(jnp.stack(sigmas) ** 2)
@@ -497,8 +524,8 @@ class DSGEStateSpace:
             core = jnp.asarray(filter_core, dtype=jnp.int32)
             T_f = T[jnp.ix_(core, core)]
             R_f = R[core, :]
-            Z, d_vec = self._build_design(ss.x_ss, ss.theta_full,
-                                          lin.loglin_scale,
+            Z, d_vec = self._build_design(pre["x_ss"], pre["theta_full"],
+                                          pre["loglin_scale"],
                                           core=filter_core)
             # guard the Lyapunov solve against explosive T
             T_safe = jnp.where(stable, T_f, jnp.zeros_like(T_f))
@@ -506,8 +533,8 @@ class DSGEStateSpace:
 
             return {
                 "x": x,
-                "theta_full": ss.theta_full,
-                "x_ss": ss.x_ss,
+                "theta_full": pre["theta_full"],
+                "x_ss": pre["x_ss"],
                 "T": T,
                 "R": R,
                 "T_aug": T_aug,
@@ -516,8 +543,8 @@ class DSGEStateSpace:
                 "d": d_vec,
                 "Q": Q,
                 "H": H,
-                "logprior": logprior,
-                "ss_success": ss.success,
+                "logprior": pre["logprior"],
+                "ss_success": pre["ss_success"],
                 "solver_success": solver_ok,
                 "stable": stable,
                 "deterministic_norm": det_norm,
@@ -525,7 +552,7 @@ class DSGEStateSpace:
                 "spectral_radius": rho,
             }
 
-        return solve_draw
+        return pre_policy, policy, post_policy
 
     def build_logpost_extras(self, data: np.ndarray
                              ) -> Callable[[jnp.ndarray], LogPostExtras]:
@@ -584,6 +611,9 @@ class DSGEStateSpace:
     # ----------------------------------------------------- batched sweeps
     def build_batched_loglik(self, data: np.ndarray, n_settle: int = 32,
                              pallas_tile: int = 512,
+                             policy: str = "xla",
+                             cr_tile: int = 128,
+                             cr_iters: int = 18,
                              interpret: bool = False):
         """Gradient-free batched log-posterior for big sweeps.
 
@@ -592,30 +622,57 @@ class DSGEStateSpace:
         filter tail runs in the fused Pallas kernel
         (:mod:`geconpy_tpu.ops.pallas_filter`) with the batch in the vector
         lanes — the prior/posterior-predictive sweep and benchmark hot path.
-        Requires fully observed data.  For gradients (NUTS) use
+
+        ``policy="pallas"`` additionally replaces the vmapped XLA
+        cycle-reduction (lockstep batched LU per iteration, the dominant
+        cost) with the lane-batched Pallas Gauss-Jordan kernel
+        (:mod:`geconpy_tpu.ops.pallas_cycle_reduction`); the batch size must
+        then be a multiple of ``cr_tile`` lanes or is padded to one.
+        Requires the model to have static variables or not, either way the
+        solve runs on the reduced dynamic pencil.  For gradients (NUTS) use
         ``build_logpost``.
         """
         if bool(np.isnan(data).any()):
             raise ValueError("build_batched_loglik requires fully observed data")
+        if policy not in ("xla", "pallas"):
+            raise ValueError(f"policy must be 'xla' or 'pallas', got {policy!r}")
+        if policy == "pallas" and self.solver not in ("cycle_reduction",):
+            raise ValueError("policy='pallas' requires solver='cycle_reduction'")
         y = jnp.asarray(data)
         y_head, y_tail = y[:n_settle], y[n_settle:]
-        solve_draw = self.build_solution_fn()
 
         from ..ops.kalman import steady_state_filter_parts
         from ..ops.pallas_filter import pallas_filter_tail
 
-        def per_draw(u):
-            sol = solve_draw(u)
+        pre_policy, policy_fn, post_policy = self._solution_pieces()
+
+        def per_draw_tail(sol):
             ll_head, x_pred0, M, TK, Finv, const = steady_state_filter_parts(
-                y_head.astype(u.dtype), sol["T_aug"], sol["R_aug"],
+                y_head.astype(sol["T_aug"].dtype), sol["T_aug"], sol["R_aug"],
                 sol["Q"], sol["Z"], sol["H"], d=sol["d"])
             ok = sol["ss_success"] & sol["solver_success"] & sol["stable"]
             return (ll_head, sol["logprior"], ok, x_pred0, M, TK, Finv,
                     const, sol["Z"], sol["d"])
 
+        if policy == "pallas":
+            solve_batch = self._build_pallas_policy_batch(cr_tile, cr_iters,
+                                                          interpret)
+
+            def solved(U):
+                pre = jax.vmap(pre_policy)(U)
+                T, R, solver_ok = solve_batch(pre)
+                sol = jax.vmap(post_policy)(pre, T, R, solver_ok)
+                return sol
+        else:
+            solve_draw = self.build_solution_fn()
+
+            def solved(U):
+                return jax.vmap(solve_draw)(U)
+
         def batched(U):
+            sol = solved(U)
             (ll_head, logprior, ok, x_pred0, M, TK, Finv, const, Zb, db) = \
-                jax.vmap(per_draw)(U)
+                jax.vmap(per_draw_tail)(sol)
             ll_tail = pallas_filter_tail(
                 y_tail.astype(U.dtype), M, TK, Zb, db, Finv, const, x_pred0,
                 tile=pallas_tile, interpret=interpret)
@@ -624,6 +681,71 @@ class DSGEStateSpace:
             return ll
 
         return batched
+
+    def _static_pivot_order(self) -> np.ndarray:
+        """Host-side static GJ row ordering from the calibration pencil."""
+        if getattr(self, "_pivot_order", None) is None:
+            from ..ops.pallas_cycle_reduction import static_pivot_order
+            from ..ops.static_reduction import reduce_pencil
+
+            pre_policy, _, _ = self._solution_pieces()
+            pre = jax.jit(pre_policy)(self.initial_position())
+            plan = self.model.static_reduction
+            if len(plan.static_idx) > 0:
+                red = reduce_pencil(pre["A"], pre["B"], pre["C"], plan)
+                B2 = np.asarray(red.B2, np.float64)
+            else:
+                B2 = np.asarray(pre["B"], np.float64)
+            self._pivot_order = static_pivot_order(B2)
+        return self._pivot_order
+
+    def _build_pallas_policy_batch(self, cr_tile: int, cr_iters: int,
+                                   interpret: bool):
+        """Batched policy solve: vmapped QR reduction -> one Pallas
+        cycle-reduction call over the whole batch -> vmapped static
+        back-substitution + selection/flags.  Primal-only (sweeps)."""
+        from ..ops.pallas_cycle_reduction import pallas_cycle_reduction
+        from ..ops.static_reduction import (finalize_reduced_policy,
+                                            policy_from_reduced,
+                                            reduce_pencil)
+
+        plan = self.model.static_reduction
+        order = self._static_pivot_order()
+        n = self.model.functions.n_variables
+        cr_tol = self._cr_tol
+
+        has_statics = len(plan.static_idx) > 0
+
+        def solve_batch(pre):
+            A, B, C, D = pre["A"], pre["B"], pre["C"], pre["D"]
+            if has_statics:
+                red = jax.vmap(lambda a, b, c: reduce_pencil(a, b, c, plan))(
+                    A, B, C)
+                A2, B2, C2 = red.A2, red.B2, red.C2
+            else:
+                red = None
+                A2, B2, C2 = A, B, C
+            T_d, cr_ok = pallas_cycle_reduction(
+                A2, B2, C2, order=order, n_iter=cr_iters, tile=cr_tile,
+                interpret=interpret)
+
+            if has_statics:
+                def expand(a, b, c, d, red_i, t_d, ok_i):
+                    T = policy_from_reduced(t_d, red_i, plan, n)
+                    T, R, success, _resid = finalize_reduced_policy(
+                        a, b, c, d, T, t_d, ok_i, tol=cr_tol)
+                    return T, R, success
+
+                return jax.vmap(expand)(A, B, C, D, red, T_d, cr_ok)
+
+            def expand_full(a, b, c, d, t, ok_i):
+                T, R, success, _resid = finalize_reduced_policy(
+                    a, b, c, d, t, t, ok_i, tol=cr_tol)
+                return T, R, success
+
+            return jax.vmap(expand_full)(A, B, C, D, T_d, cr_ok)
+
+        return solve_batch
 
     # ------------------------------------------------------ filter/smoother
     def filter_data(self, data: np.ndarray, params: dict | None = None,

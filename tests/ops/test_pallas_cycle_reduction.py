@@ -99,11 +99,14 @@ def test_cycle_reduction_divergence_not_success(sw_pencil):
     assert not bool(res.success)
 
 
-def test_without_order_fails_structurally(sw_pencil):
-    """The reduced B has structural zero pivots: without the static
-    permutation the elimination must flag failure, not silently produce T."""
+def test_without_order_succeeds_via_pivoting(sw_pencil):
+    """The reduced B has structural zero pivots: per-lane partial pivoting
+    must handle them without any static pre-permutation."""
     A0, A1, A2 = sw_pencil
-    _, ok = pallas_cycle_reduction(
+    T, ok = pallas_cycle_reduction(
         jnp.asarray(A0[None]), jnp.asarray(A1[None]), jnp.asarray(A2[None]),
         order=None, tile=1, interpret=True)
-    assert not bool(ok[0])
+    assert bool(ok[0])
+    res = cycle_reduction(jnp.asarray(A0), jnp.asarray(A1), jnp.asarray(A2))
+    np.testing.assert_allclose(np.asarray(T[0]), np.asarray(res.T),
+                               atol=1e-10)

@@ -150,3 +150,31 @@ def test_filter_core_reduction_parity():
     ll_full = float(_kf(jnp.asarray(data), sol["T_aug"], sol["R_aug"],
                         sol["Q"], sol["Z"], sol["H"], d=sol["d"]).loglik)
     np.testing.assert_allclose(ll_core, ll_full, rtol=1e-9)
+
+
+def test_batched_pallas_policy_parity():
+    """build_batched_loglik(policy='pallas') — vmapped pre/post around the
+    lane-batched Pallas cycle-reduction kernel — must reproduce the standard
+    vmapped logpost exactly (interpret mode on CPU)."""
+    from geconpy_tpu import get_example_gcn, model_from_gcn
+
+    model = model_from_gcn(get_example_gcn("sw2007"), verbose=False)
+    estimated = ["crhoa", "sigma_ea", "crr", "crpi", "chabb"]
+    constant = [p for p in model.param_names if p not in estimated]
+    ss = DSGEStateSpace(model)
+    ss.configure(observed_states=["y", "pinf", "r"],
+                 filter_type="steady_state", kalman_settle=16,
+                 constant_params=constant)
+    data, draw = ss.data_from_prior(jax.random.PRNGKey(0), periods=80)
+    u0 = ss.unconstrain(draw)
+    U = u0[None] + 0.05 * jax.random.normal(jax.random.PRNGKey(1),
+                                            (8, len(u0)))
+    f_pal = jax.jit(ss.build_batched_loglik(np.asarray(data), n_settle=16,
+                                            policy="pallas", cr_tile=8,
+                                            interpret=True))
+    lp_ref = jax.jit(jax.vmap(ss.build_logpost(np.asarray(data))))
+    ll_p = np.asarray(f_pal(U))
+    ll_r = np.asarray(lp_ref(U))
+    both = np.isfinite(ll_p) & np.isfinite(ll_r)
+    assert both.sum() >= 6
+    np.testing.assert_allclose(ll_p[both], ll_r[both], rtol=1e-8)
