@@ -6,7 +6,7 @@ import pytest
 from geconpy_tpu import get_example_gcn, model_from_gcn
 
 ALL_MODELS = ["rbc", "rbc_no_ss", "rbc_estimation", "nk_3eq", "nk_full",
-              "nk_sw", "rbc_two_agent", "open_rbc", "rbc_ces"]
+              "nk_sw", "rbc_two_agent", "open_rbc", "rbc_ces", "baxter_king"]
 
 
 @pytest.mark.parametrize("name", ALL_MODELS)
@@ -61,3 +61,20 @@ def test_ces_block_in_pipeline():
     np.testing.assert_allclose(
         ss["r_ss"] * ss["K_ss"] + ss["w_ss"] * ss["L_ss"], ss["Y_ss"],
         rtol=1e-8)
+
+
+def test_baxter_king_fiscal_effects():
+    """Baxter-King mechanics: a government-purchase shock has a negative
+    wealth effect (C falls, L rises, Y rises); public investment raises
+    output persistently through the public-capital externality."""
+    from geconpy_tpu import impulse_response_function
+
+    model = model_from_gcn(get_example_gcn("baxter_king"), verbose=False)
+    sol = model.solve_model(verbose=False)
+    irf = impulse_response_function(sol, periods=60, shock_size=0.01)
+    g0 = irf.loc[("epsilon_G", 0)]
+    assert g0["C"] < 0 and g0["L"] > 0 and g0["Y"] > 0
+    ig = irf.loc[("epsilon_IG",)]
+    # output gain from public capital builds over time and stays positive
+    assert ig.loc[40, "Y"] > 0
+    assert ig.loc[40, "KG"] > ig.loc[5, "KG"]
