@@ -209,11 +209,15 @@ class Model:
     # ----------------------------------------------------------- steady state
     def steady_state(self, verbose: bool = True,
                      fixed_values: dict[str, float] | None = None,
+                     method: str = "hybrid",
                      **updates) -> SteadyStateResults:
         """Solve the steady state.  ``fixed_values`` pins chosen variables
         (role parity with gEconpy/model/model.py:1097): the remaining system
         is solved and the FULL residual validated, so an inconsistent pin
-        fails loudly."""
+        fails loudly.  ``method`` selects the numeric root-finder
+        ('hybrid' (default), 'newton', 'newton_nm', 'chord', 'lm', 'dogleg',
+        'gauss_newton' — role parity with the reference's better_optimize /
+        sparse_root method choices)."""
         theta = self.default_theta(**updates)
         if fixed_values:
             from .steady_state import make_fixed_value_solver
@@ -225,6 +229,12 @@ class Model:
                     self.functions, names)
             vals = jnp.asarray([float(fixed_values[k]) for k in names])
             sol = jax.jit(self._solvers[key])(theta, vals)
+        elif method != "hybrid":
+            key = ("ss_method", method)
+            if key not in self._solvers:
+                self._solvers[key] = make_steady_state_solver(
+                    self.functions, method=method)
+            sol = jax.jit(self._solvers[key])(theta)
         else:
             sol = jax.jit(self.ss_solver)(theta)
         success = bool(sol.success)

@@ -120,6 +120,11 @@ def make_steady_state_solver(
         elif method == "lm":
             res = levenberg_marquardt_solve(unknown_residual, u0, (theta_fd,),
                                             tol=tol, maxiter=maxiter)
+        elif method in ("newton_nm", "chord", "dogleg", "gauss_newton"):
+            from ..ops.newton import root as _root_dispatch
+
+            res = _root_dispatch(unknown_residual, u0, (theta_fd,),
+                                 method=method, tol=tol, maxiter=maxiter)
         else:  # hybrid
             res_n = newton_solve(unknown_residual, u0, (theta_fd,), tol=tol,
                                  maxiter=maxiter)

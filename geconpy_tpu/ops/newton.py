@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from .precision import highest_precision
 
 __all__ = ["RootResult", "newton_solve", "levenberg_marquardt_solve",
-           "dogleg_solve", "root"]
+           "dogleg_solve", "chord_solve", "gauss_newton_cg_solve", "root"]
 
 
 class RootResult(NamedTuple):
@@ -43,28 +43,32 @@ def newton_solve(
     maxiter: int = 100,
     max_backtracks: int = 12,
     armijo_c: float = 1e-4,
+    memory: int = 1,
 ) -> RootResult:
-    """Damped Newton with Armijo backtracking, fully on-device.
+    """Damped Newton with (non)monotone Armijo backtracking, fully on-device.
 
     ``f(x, *args) -> residual`` must be square.  The Jacobian comes from
-    ``jax.jacfwd``.  A fixed-bound backtracking loop (``fori_loop`` with
+    ``jax.jacfwd``.  A fixed-bound backtracking loop (``lax.scan`` with
     masking) keeps control flow XLA-compatible.
+
+    ``memory > 1`` enables Grippo-Lampariello-Lucidi nonmonotone
+    backtracking: a step is accepted against the MAX of the last ``memory``
+    merit values, letting the iteration climb out of narrow curved valleys
+    where monotone Armijo stalls (role parity with the reference's
+    ``solvers/sparse_root/line_search.py`` NewtonNonmonotone:114).
     """
     import numpy as np
 
     tol = max(tol, 100 * float(np.finfo(np.dtype(x0.dtype)).eps))
     jac = jax.jacfwd(f)
-
-    def merit(x):
-        r = f(x, *args)
-        return 0.5 * jnp.dot(r, r), r
+    memory = max(1, int(memory))
 
     def cond(state):
-        x, r, it, nfev, done = state
+        x, r, hist, it, nfev, done = state
         return (~done) & (it < maxiter)
 
     def body(state):
-        x, r, it, nfev, done = state
+        x, r, hist, it, nfev, done = state
         J = jac(x, *args)
         dx = jnp.linalg.solve(J, -r)
         # fall back to steepest descent direction if solve produced non-finite
@@ -73,6 +77,7 @@ def newton_solve(
         dx = jnp.where(bad_dir, -grad, dx)
 
         m0 = 0.5 * jnp.dot(r, r)
+        m_ref = jnp.max(hist)              # = m0 when memory == 1
         slope = jnp.dot(grad, dx)
 
         def backtrack(carry, i):
@@ -81,7 +86,8 @@ def newton_solve(
             r_try = f(x_try, *args)
             m_try = 0.5 * jnp.dot(r_try, r_try)
             finite = jnp.all(jnp.isfinite(r_try))
-            ok = finite & (m_try <= m0 + armijo_c * alpha * slope) & (~accepted)
+            ok = finite & (m_try <= m_ref + armijo_c * alpha * slope) \
+                & (~accepted)
             best_x = jnp.where(ok, x_try, best_x)
             best_r = jnp.where(ok, r_try, best_r)
             best_m = jnp.where(ok, m_try, best_m)
@@ -92,18 +98,207 @@ def newton_solve(
         (alpha, x_new, r_new, m_new, accepted, nf), _ = jax.lax.scan(
             backtrack, init, jnp.arange(max_backtracks))
 
+        hist_new = jnp.concatenate([hist[1:], m_new[None]]) if memory > 1 \
+            else hist
         # if no step was accepted we are stuck: mark done (failure unless tol met)
         stuck = ~accepted
         converged = _inf_norm(r_new) < tol
-        return (x_new, r_new, it + 1, nfev + nf + 1, stuck | converged)
+        return (x_new, r_new, hist_new, it + 1, nfev + nf + 1,
+                stuck | converged)
 
     r0 = f(x0, *args)
-    state0 = (x0, r0, jnp.asarray(0), jnp.asarray(1),
+    m_init = 0.5 * jnp.dot(r0, r0)
+    hist0 = jnp.full((memory,), m_init, x0.dtype)
+    state0 = (x0, r0, hist0, jnp.asarray(0), jnp.asarray(1),
               jnp.asarray(_inf_norm(r0) < tol))
-    x, r, it, nfev, done = jax.lax.while_loop(cond, body, state0)
+    x, r, hist, it, nfev, done = jax.lax.while_loop(cond, body, state0)
     norm = _inf_norm(r)
     success = jnp.isfinite(norm) & (norm < tol)
     return RootResult(x, success, norm, it, nfev)
+
+
+@highest_precision
+def chord_solve(
+    f: Callable,
+    x0: jax.Array,
+    args: tuple = (),
+    tol: float = 1e-8,
+    maxiter: int = 200,
+    refactor_ratio: float = 0.5,
+) -> RootResult:
+    """Chord (frozen-Jacobian) iteration with an automatic refactor trigger.
+
+    The LU factorization of the Jacobian is reused across steps — each
+    iteration is one residual evaluation plus two triangular solves — and
+    the Jacobian is refactored only when the merit contraction per step is
+    worse than ``refactor_ratio`` (role parity with the reference's
+    ``solvers/sparse_root/direction.py:55`` Chord strategy).  Much cheaper
+    per iteration than Newton when the Jacobian is expensive and the
+    iterate is in the locally-linear regime.
+    """
+    import numpy as np
+
+    tol = max(tol, 100 * float(np.finfo(np.dtype(x0.dtype)).eps))
+    jac = jax.jacfwd(f)
+
+    def factor(x):
+        return jax.scipy.linalg.lu_factor(jac(x, *args))
+
+    def cond(state):
+        x, r, lu, piv, fresh, it, njac, done = state
+        return (~done) & (it < maxiter)
+
+    def body(state):
+        x, r, lu, piv, fresh, it, njac, done = state
+        dx = jax.scipy.linalg.lu_solve((lu, piv), -r)
+        m0 = jnp.dot(r, r)
+
+        # halving line search along the frozen-Jacobian direction
+        def backtrack(carry, _):
+            alpha, bx, br, bm, acc = carry
+            x_t = x + alpha * dx
+            r_t = f(x_t, *args)
+            m_t = jnp.dot(r_t, r_t)
+            ok = jnp.all(jnp.isfinite(r_t)) & (m_t < m0) & (~acc)
+            return (alpha * 0.5, jnp.where(ok, x_t, bx),
+                    jnp.where(ok, r_t, br), jnp.where(ok, m_t, bm),
+                    acc | ok), None
+
+        (_, x_try, r_try, m_try, improved), _ = jax.lax.scan(
+            backtrack, (jnp.asarray(1.0, x.dtype), x, r, m0,
+                        jnp.asarray(False)), None, length=16)
+
+        # refactor when contraction is poor (or the step failed outright)
+        refactor = (~improved) | (m_try > refactor_ratio * m0)
+        lu_new, piv_new = jax.lax.cond(
+            refactor,
+            lambda _: factor(jnp.where(improved, x_try, x)),
+            lambda _: (lu, piv), None)
+
+        x_new = jnp.where(improved, x_try, x)
+        r_new = jnp.where(improved, r_try, r)
+        converged = _inf_norm(r_new) < tol
+        # a failed step from a FRESH factorization means even Newton's own
+        # damped direction no longer improves: give up (flags, not exceptions)
+        stuck = (~improved) & fresh
+        return (x_new, r_new, lu_new, piv_new, refactor, it + 1,
+                njac + refactor.astype(njac.dtype), converged | stuck)
+
+    r0 = f(x0, *args)
+    lu0, piv0 = factor(x0)
+    state0 = (x0, r0, lu0, piv0, jnp.asarray(True), jnp.asarray(0),
+              jnp.asarray(1), jnp.asarray(_inf_norm(r0) < tol))
+    x, r, lu, piv, fresh, it, njac, done = jax.lax.while_loop(
+        cond, body, state0)
+    norm = _inf_norm(r)
+    success = jnp.isfinite(norm) & (norm < tol)
+    return RootResult(x, success, norm, it, it + njac)
+
+
+@highest_precision
+def gauss_newton_cg_solve(
+    f: Callable,
+    x0: jax.Array,
+    args: tuple = (),
+    tol: float = 1e-8,
+    maxiter: int = 200,
+    cg_iters: int | None = None,
+    trust_radius0: float = 1.0,
+    max_radius: float = 100.0,
+) -> RootResult:
+    """Trust-region Gauss-Newton with a Steihaug-CG inner solve.
+
+    The inner step minimizes the Gauss-Newton model 0.5||r + J p||² inside
+    the trust region using conjugate gradients on JᵀJ — matrix-free except
+    for J itself (role parity with the reference's
+    ``solvers/sparse_root/gauss_newton.py:9,74`` GaussNewtonTrustRegion).
+    CG handles rank-deficient / rectangular-like Jacobians gracefully:
+    it returns the Cauchy-like point where plain Newton would blow up.
+    """
+    import numpy as np
+
+    tol = max(tol, 100 * float(np.finfo(np.dtype(x0.dtype)).eps))
+    jac = jax.jacfwd(f)
+    n = x0.shape[0]
+    if cg_iters is None:
+        cg_iters = n
+
+    def steihaug(J, g, radius):
+        """CG on JᵀJ p = -g, truncated at the trust-region boundary."""
+        def hvp(v):
+            return J.T @ (J @ v)
+
+        def to_boundary(p, d):
+            # tau >= 0 with ||p + tau d|| = radius
+            a = jnp.dot(d, d)
+            b = 2.0 * jnp.dot(p, d)
+            c = jnp.dot(p, p) - radius**2
+            disc = jnp.maximum(b * b - 4 * a * c, 0.0)
+            tau = (-b + jnp.sqrt(disc)) / jnp.maximum(2 * a, 1e-300)
+            return p + tau * d
+
+        def body(carry, _):
+            p, rr, d, done = carry
+            Hd = hvp(d)
+            dHd = jnp.dot(d, Hd)
+            alpha = jnp.dot(rr, rr) / jnp.maximum(dHd, 1e-300)
+            p_next = p + alpha * d
+            hit = jnp.linalg.norm(p_next) >= radius
+            neg_curv = dHd <= 0.0
+            p_bound = to_boundary(p, d)
+            p_new = jnp.where(done, p,
+                              jnp.where(neg_curv | hit, p_bound, p_next))
+            rr_new = jnp.where(done | neg_curv | hit, rr, rr - alpha * Hd)
+            beta = jnp.dot(rr_new, rr_new) / jnp.maximum(jnp.dot(rr, rr),
+                                                         1e-300)
+            d_new = jnp.where(done | neg_curv | hit, d, rr_new + beta * d)
+            small = jnp.linalg.norm(rr_new) < 1e-10
+            return (p_new, rr_new, d_new, done | neg_curv | hit | small), None
+
+        p0 = jnp.zeros_like(g)
+        (p, _, _, _), _ = jax.lax.scan(
+            body, (p0, -g, -g, jnp.asarray(False)), None, length=cg_iters)
+        return p
+
+    def cond(state):
+        x, r, radius, it, done = state
+        return (~done) & (it < maxiter)
+
+    def body(state):
+        x, r, radius, it, done = state
+        J = jac(x, *args)
+        g = J.T @ r
+        step = steihaug(J, g, radius)
+
+        r_try = f(x + step, *args)
+        finite = jnp.all(jnp.isfinite(r_try))
+        actual = 0.5 * (jnp.dot(r, r) - jnp.dot(r_try, r_try))
+        pred_vec = r + J @ step
+        predicted = 0.5 * (jnp.dot(r, r) - jnp.dot(pred_vec, pred_vec))
+        rho_tr = actual / jnp.maximum(predicted, 1e-300)
+
+        accept = finite & (rho_tr > 0.05)
+        x_new = jnp.where(accept, x + step, x)
+        r_new = jnp.where(accept, r_try, r)
+        step_norm = jnp.linalg.norm(step)
+        grow = (rho_tr > 0.75) & (step_norm >= 0.8 * radius) & finite
+        shrink = (~finite) | (rho_tr < 0.25)
+        radius_new = jnp.where(grow, jnp.minimum(2.0 * radius, max_radius),
+                               jnp.where(shrink, 0.25 * step_norm + 1e-14,
+                                         radius))
+        radius_new = jnp.maximum(radius_new, 1e-12)
+
+        converged = _inf_norm(r_new) < tol
+        stuck = radius_new <= 1e-11
+        return (x_new, r_new, radius_new, it + 1, converged | stuck)
+
+    r0 = f(x0, *args)
+    state0 = (x0, r0, jnp.asarray(trust_radius0, x0.dtype), jnp.asarray(0),
+              jnp.asarray(_inf_norm(r0) < tol))
+    x, r, radius, it, done = jax.lax.while_loop(cond, body, state0)
+    norm = _inf_norm(r)
+    success = jnp.isfinite(norm) & (norm < tol)
+    return RootResult(x, success, norm, it, it)
 
 
 @highest_precision
@@ -265,8 +460,8 @@ def dogleg_solve(
 @partial(jax.jit, static_argnames=("f", "method", "tol", "maxiter"))
 def root(f, x0, args=(), method: str = "newton", tol: float = 1e-8,
          maxiter: int = 100) -> RootResult:
-    """Dispatching root-finder.  ``method`` in {'newton', 'lm', 'dogleg',
-    'hybrid'}.
+    """Dispatching root-finder.  ``method`` in {'newton', 'newton_nm',
+    'chord', 'lm', 'dogleg', 'gauss_newton', 'hybrid'}.
 
     'hybrid' runs Newton and falls back to LM when Newton fails — both
     branches trace (XLA dead-code-eliminates nothing here, but steady-state
@@ -275,10 +470,16 @@ def root(f, x0, args=(), method: str = "newton", tol: float = 1e-8,
     """
     if method == "newton":
         return newton_solve(f, x0, args, tol=tol, maxiter=maxiter)
+    if method == "newton_nm":
+        return newton_solve(f, x0, args, tol=tol, maxiter=maxiter, memory=5)
+    if method == "chord":
+        return chord_solve(f, x0, args, tol=tol, maxiter=maxiter)
     if method == "lm":
         return levenberg_marquardt_solve(f, x0, args, tol=tol, maxiter=maxiter)
     if method == "dogleg":
         return dogleg_solve(f, x0, args, tol=tol, maxiter=maxiter)
+    if method == "gauss_newton":
+        return gauss_newton_cg_solve(f, x0, args, tol=tol, maxiter=maxiter)
     if method == "hybrid":
         res_n = newton_solve(f, x0, args, tol=tol, maxiter=maxiter)
         res_lm = levenberg_marquardt_solve(f, x0, args, tol=tol, maxiter=2 * maxiter)

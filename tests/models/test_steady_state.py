@@ -141,3 +141,16 @@ def test_fixed_values_consistent_and_inconsistent(rbc_numeric_mf):
     # pin L at a wrong value: full-system validation must flag failure
     bad = model.steady_state(verbose=False, fixed_values={"L": 2.5})
     assert not bad.success
+
+
+def test_steady_state_method_selection():
+    """Every root-finder in the family solves the RBC steady state
+    end-to-end through Model.steady_state(method=...)."""
+    from geconpy_tpu import get_example_gcn, model_from_gcn
+
+    model = model_from_gcn(get_example_gcn("rbc_no_ss"), verbose=False)
+    for method in ("newton", "newton_nm", "chord", "lm", "dogleg",
+                   "gauss_newton", "hybrid"):
+        ss = model.steady_state(method=method, verbose=False)
+        assert ss.success, method
+        assert ss.resid_norm < 1e-6, (method, ss.resid_norm)

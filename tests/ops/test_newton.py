@@ -90,3 +90,57 @@ def test_dogleg_vmap():
     cs = jnp.array([[8.0], [27.0]])
     res = jax.vmap(lambda c: dogleg_solve(f, jnp.array([1.5]), (c,)))(cs)
     np.testing.assert_allclose(np.asarray(res.x[:, 0]), [2.0, 3.0], atol=1e-8)
+
+
+@pytest.mark.parametrize("method", ["chord", "gauss_newton", "newton_nm"])
+def test_extended_solver_family(method):
+    """Chord / Gauss-Newton-CG / nonmonotone Newton all solve the standard
+    problems (role parity with the reference's sparse_root family)."""
+    res = root(quad, jnp.array([3.0, 3.0]), method=method)
+    assert bool(res.success)
+    np.testing.assert_allclose(np.asarray(res.x), [1.0, 2.0], atol=1e-6)
+
+    def stiff(x):
+        return jnp.array([jnp.exp(x[0]) - 2.0, 10.0 * x[1] + x[0] ** 3 - 1.3])
+
+    res2 = root(stiff, jnp.array([5.0, -4.0]), method=method, maxiter=500)
+    assert bool(res2.success)
+    np.testing.assert_allclose(float(res2.x[0]), np.log(2.0), atol=1e-6)
+
+
+@pytest.mark.parametrize("method", ["chord", "newton_nm"])
+def test_extended_family_rosenbrock(method):
+    """Globalized variants also handle the Rosenbrock-gradient root."""
+    res = root(rosenbrock_grad, jnp.array([-1.2, 1.0]), method=method,
+               maxiter=500)
+    assert bool(res.success)
+    np.testing.assert_allclose(np.asarray(res.x), [1.0, 1.0], atol=1e-5)
+
+
+def test_chord_reuses_jacobian():
+    """The chord iteration should need far fewer Jacobian factorizations
+    than iterations (n_feval counts iters + refactors)."""
+    from geconpy_tpu.ops.newton import chord_solve
+
+    # nearly-linear system: one factorization should carry the whole solve
+    def f(x):
+        return x - 0.01 * jnp.tanh(x) - jnp.array([0.3, -0.7])
+
+    res = chord_solve(f, jnp.zeros(2))
+    assert bool(res.success)
+    n_refactor = int(res.n_feval) - int(res.n_iter)
+    assert n_refactor <= 2, (int(res.n_iter), n_refactor)
+
+
+def test_gauss_newton_cg_vmap():
+    from geconpy_tpu.ops.newton import gauss_newton_cg_solve
+
+    def f(x, target):
+        return jnp.array([x[0] ** 2 - target, x[1] - x[0]])
+
+    targets = jnp.array([1.0, 4.0, 9.0])
+    res = jax.vmap(lambda t: gauss_newton_cg_solve(
+        f, jnp.array([2.0, 2.0]), args=(t,)))(targets)
+    assert bool(jnp.all(res.success))
+    np.testing.assert_allclose(np.asarray(res.x[:, 0]), [1.0, 2.0, 3.0],
+                               atol=1e-6)
