@@ -65,8 +65,14 @@ def fit(
     max_depth: int = 8,
     target_accept: float = 0.8,
     init_jitter: float = 0.5,
+    pooled_adaptation: bool = False,
 ) -> PosteriorResult:
-    """Sample the posterior with vmapped device-side NUTS chains."""
+    """Sample the posterior with vmapped device-side NUTS chains.
+
+    ``pooled_adaptation=True`` shares the step size and mass matrix across
+    chains during warmup (cross-chain Welford pooling) — with many chains
+    each warmup window carries num_chains x the information, so shorter
+    warmups suffice."""
     logpost = ss_mod.build_logpost(data)
 
     key = jax.random.PRNGKey(seed)
@@ -82,7 +88,7 @@ def fit(
     res: NUTSResult = sample_nuts(
         logpost, inits, k_sample, num_warmup=num_warmup,
         num_samples=num_samples, max_depth=max_depth,
-        target_accept=target_accept)
+        target_accept=target_accept, pooled=pooled_adaptation)
 
     constrain_all = jax.jit(jax.vmap(jax.vmap(ss_mod.constrain)))
     constrained = np.asarray(constrain_all(res.samples))

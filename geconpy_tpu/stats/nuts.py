@@ -75,11 +75,38 @@ def _is_uturn(q_minus, q_plus, p_minus, p_plus, inv_mass):
            (jnp.dot(dq, inv_mass * p_plus) < 0)
 
 
+def _select(pred, a, b):
+    """Masked pytree select: pred ? a : b.
+
+    Used instead of ``lax.cond`` throughout the kernel: chains are always
+    vmapped (where cond lowers to a both-branches select anyway), and
+    branch-free selects sidestep shard_map's branch variance-type
+    reconciliation under pooled cross-chain adaptation."""
+    return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
 def nuts_kernel(logp_fn: Callable, q, logp, grad, key, step_size, inv_mass,
-                max_depth: int = 8):
-    """One NUTS transition.  Returns (q', logp', grad', info dict)."""
+                max_depth: int = 8, axis_name: str | None = None):
+    """One NUTS transition.  Returns (q', logp', grad', info dict).
+
+    ``axis_name``: when running inside ``shard_map`` with pooled
+    (device-invariant) adaptation state, pass the mesh axis so freshly
+    created literals and the shared step size/mass matrix are cast to
+    device-varying — lax.cond/while require consistent variance types.
+    """
     dim = q.shape[0]
     dtype = q.dtype
+    if axis_name is not None:
+        def _pv(x):
+            x = jnp.asarray(x)
+            vma = getattr(jax.typeof(x), "vma", frozenset())
+            return x if axis_name in vma else jax.lax.pvary(x, axis_name)
+    else:
+        def _pv(x):
+            return jnp.asarray(x)
+
+    q, logp, grad = _pv(q), _pv(logp), _pv(grad)
+    step_size, inv_mass = _pv(step_size), _pv(inv_mass)
 
     def logp_and_grad(qq):
         val, g = jax.value_and_grad(logp_fn)(qq)
@@ -105,6 +132,9 @@ def nuts_kernel(logp_fn: Callable, q, logp, grad, key, step_size, inv_mass,
     # checkpoint buffers for aligned-subtree U-turn checks
     ckpt_q = jnp.zeros((max_depth + 1, dim), dtype)
     ckpt_p = jnp.zeros((max_depth + 1, dim), dtype)
+    if axis_name is not None:
+        init = jax.tree.map(_pv, init)
+        ckpt_q, ckpt_p = _pv(ckpt_q), _pv(ckpt_p)
 
     def extend_subtree(state, depth, direction, key):
         """Add 2^depth leapfrog steps in ``direction``; progressive
@@ -113,11 +143,12 @@ def nuts_kernel(logp_fn: Callable, q, logp, grad, key, step_size, inv_mass,
         eps = direction * step_size
 
         def take_from(state):
-            return jax.lax.cond(
+            return _select(
                 direction > 0,
-                lambda s: (s.q_right, s.p_right, s.grad_right, s.logp_right),
-                lambda s: (s.q_left, s.p_left, s.grad_left, s.logp_left),
-                state)
+                (state.q_right, state.p_right, state.grad_right,
+                 state.logp_right),
+                (state.q_left, state.p_left, state.grad_left,
+                 state.logp_left))
 
         def leaf_body(i, carry):
             state, cq, cp, key, sub_logw = carry
@@ -132,23 +163,21 @@ def nuts_kernel(logp_fn: Callable, q, logp, grad, key, step_size, inv_mass,
             accept_prob = jnp.minimum(1.0, jnp.exp(-delta))
 
             # update endpoint in the travel direction
-            state = jax.lax.cond(
+            state = _select(
                 direction > 0,
-                lambda s: s._replace(q_right=q1, p_right=p1, grad_right=g1,
-                                     logp_right=logp1),
-                lambda s: s._replace(q_left=q1, p_left=p1, grad_left=g1,
-                                     logp_left=logp1),
-                state)
+                state._replace(q_right=q1, p_right=p1, grad_right=g1,
+                               logp_right=logp1),
+                state._replace(q_left=q1, p_left=p1, grad_left=g1,
+                               logp_left=logp1))
 
             # progressive multinomial sampling within the new subtree
             sub_logw_new = jnp.logaddexp(sub_logw, log_w_leaf)
             key, sub = jax.random.split(key)
             accept_leaf = jnp.log(jax.random.uniform(sub, dtype=dtype)) \
                 < (log_w_leaf - sub_logw_new)
-            state = jax.lax.cond(
+            state = _select(
                 accept_leaf & ~diverging,
-                lambda s: s._replace(q_prop=q1, logp_prop=logp1, grad_prop=g1),
-                lambda s: s,
+                state._replace(q_prop=q1, logp_prop=logp1, grad_prop=g1),
                 state)
 
             # ---- aligned-subtree checkpointing & U-turn checks
@@ -181,13 +210,10 @@ def nuts_kernel(logp_fn: Callable, q, logp, grad, key, step_size, inv_mass,
 
         def cond_body(i, carry):
             state = carry[0]
-            return jax.lax.cond(
-                state.turning | state.diverging,
-                lambda c: c,
-                lambda c: leaf_body(i, c),
-                carry)
+            return _select(state.turning | state.diverging,
+                           carry, leaf_body(i, carry))
 
-        sub_logw0 = jnp.asarray(-jnp.inf, dtype)
+        sub_logw0 = _pv(jnp.asarray(-jnp.inf, dtype))
         carry = (state, ckpt_q, ckpt_p, key, sub_logw0)
         carry = jax.lax.fori_loop(0, n_steps, cond_body, carry)
         state, _, _, _, sub_logw = carry
@@ -210,12 +236,10 @@ def nuts_kernel(logp_fn: Callable, q, logp, grad, key, step_size, inv_mass,
             log_ratio = sub_logw - old_logw
             accept_new = (jnp.log(jax.random.uniform(k_accept, dtype=dtype))
                           < log_ratio) & ~new_state.diverging & ~new_state.turning
-            state = jax.lax.cond(
-                accept_new,
-                lambda s: s,
-                lambda s: s._replace(q_prop=old_prop[0], logp_prop=old_prop[1],
-                                     grad_prop=old_prop[2]),
-                new_state)
+            state = _select(
+                accept_new, new_state,
+                new_state._replace(q_prop=old_prop[0], logp_prop=old_prop[1],
+                                   grad_prop=old_prop[2]))
             state = state._replace(log_weight=jnp.logaddexp(old_logw, sub_logw))
 
             # whole-trajectory U-turn check
@@ -225,11 +249,11 @@ def nuts_kernel(logp_fn: Callable, q, logp, grad, key, step_size, inv_mass,
             done = state.turning | state.diverging
             return (state, key, done)
 
-        return jax.lax.cond(done, lambda c: c, do_double, carry)
+        return _select(done, carry, do_double(carry))
 
     state, _, _ = jax.lax.fori_loop(
         0, max_depth, doubling_body,
-        (init, key_tree, jnp.asarray(False)))
+        (init, key_tree, _pv(jnp.asarray(False))))
 
     n = jnp.maximum(state.n_leapfrog, 1)
     info = {
@@ -292,6 +316,29 @@ def _welford_update(adapt, q):
     return adapt._replace(welford_mean=mean, welford_m2=m2, welford_n=n)
 
 
+def _welford_update_batch(adapt, qs, axis_name=None):
+    """Chan-et-al merge of one step's cross-chain batch into the running
+    Welford state; with ``axis_name`` the batch statistics are pooled over
+    the device mesh too (psum of sufficient statistics rides the ICI)."""
+    dtype = adapt.welford_m2.dtype
+    c = jnp.asarray(qs.shape[0], dtype)
+    s1 = jnp.sum(qs, axis=0)
+    s2 = jnp.sum(qs * qs, axis=0)
+    if axis_name is not None:
+        c = jax.lax.psum(c, axis_name)
+        s1 = jax.lax.psum(s1, axis_name)
+        s2 = jax.lax.psum(s2, axis_name)
+    b_mean = s1 / c
+    b_m2 = s2 - s1 * s1 / c
+    n_old = adapt.welford_n.astype(dtype)
+    n_new = n_old + c
+    delta = b_mean - adapt.welford_mean
+    mean = adapt.welford_mean + delta * (c / n_new)
+    m2 = adapt.welford_m2 + b_m2 + delta * delta * (n_old * c / n_new)
+    return adapt._replace(welford_mean=mean, welford_m2=m2,
+                          welford_n=adapt.welford_n + c.astype(jnp.int32))
+
+
 def _welford_finalize(adapt):
     n = jnp.maximum(adapt.welford_n, 2).astype(adapt.welford_m2.dtype)
     var = adapt.welford_m2 / (n - 1)
@@ -349,12 +396,22 @@ def sample_nuts(
     max_depth: int = 8,
     initial_step_size: float = 0.1,
     target_accept: float = 0.8,
+    pooled: bool = False,
+    axis_name: str | None = None,
 ) -> NUTSResult:
     """Run vmapped NUTS chains.
 
     ``logp_fn(q) -> scalar`` must be jittable; chains are vmapped, so the
     whole sampler is one XLA program.  Warmup adapts step size (dual
     averaging) and a diagonal mass matrix (Stan-style windows) per chain.
+
+    ``pooled=True`` shares adaptation ACROSS chains (nutpie/cross-chain
+    warmup style): one step size driven by the pooled mean acceptance and
+    one mass matrix from the cross-chain Welford estimate — each warmup
+    window then carries ``n_chains``x the information, so short warmups
+    work with many chains.  ``axis_name`` additionally pools the
+    sufficient statistics across a ``shard_map``/``pmap`` mesh axis
+    (psum/pmean collectives over the ICI).
     """
     initial_position = jnp.asarray(initial_position)
     n_chains, dim = initial_position.shape
@@ -368,6 +425,12 @@ def sample_nuts(
         val, g = jax.value_and_grad(logp_fn)(q)
         g = jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g))
         return val, g
+
+    if pooled:
+        return _sample_nuts_pooled(
+            logp_fn, logp_grad, initial_position, key, num_warmup,
+            num_samples, max_depth, initial_step_size, target_accept,
+            in_slow, window_end, axis_name)
 
     def warmup_step(carry, inputs):
         step_idx, key = inputs
@@ -418,3 +481,77 @@ def sample_nuts(
     qs, logps, accepts, divs, n_leaps, eps_final, inv_mass = jax.vmap(one_chain)(
         initial_position, chain_keys)
     return NUTSResult(qs, logps, accepts, divs, n_leaps, eps_final, inv_mass)
+
+
+def _sample_nuts_pooled(logp_fn, logp_grad, initial_position, key,
+                        num_warmup, num_samples, max_depth,
+                        initial_step_size, target_accept, in_slow,
+                        window_end, axis_name):
+    """Cross-chain pooled warmup: shared step size + shared mass matrix.
+
+    The step loop is the outer scan and chains run vmapped inside it, so
+    every chain sees the same adaptation state each step (and, with
+    ``axis_name``, the same state across all devices on the mesh)."""
+    n_chains, dim = initial_position.shape
+    dtype = initial_position.dtype
+
+    def kernel_all(qs, logps, grads, keys, eps, inv_mass):
+        return jax.vmap(lambda q, l, g, k: nuts_kernel(
+            logp_fn, q, l, g, k, eps, inv_mass, max_depth,
+            axis_name=axis_name))(qs, logps, grads, keys)
+
+    def warmup_step(carry, inputs):
+        step_idx, key = inputs
+        qs, logps, grads, adapt = carry
+        keys = jax.random.split(key, n_chains)
+        eps = jnp.exp(adapt.log_eps)
+        qs, logps, grads, info = kernel_all(qs, logps, grads, keys, eps,
+                                            adapt.inv_mass)
+        acc = jnp.mean(info["accept_prob"])
+        if axis_name is not None:
+            acc = jax.lax.pmean(acc, axis_name)
+        adapt = _dual_averaging_update(adapt, acc, target=target_accept)
+        # masked selects instead of lax.cond: under shard_map the psum
+        # branch and the identity branch carry different device-variance
+        # types, which cond rejects
+        upd = _welford_update_batch(adapt, qs, axis_name)
+        adapt = jax.tree.map(
+            lambda a, b: jnp.where(in_slow[step_idx], b, a), adapt, upd)
+
+        fin = _welford_finalize(adapt)
+        fin = fin._replace(mu=jnp.log(10.0) + fin.log_eps,
+                           h_bar=jnp.zeros_like(fin.h_bar),
+                           count=jnp.zeros_like(fin.count))
+        adapt = jax.tree.map(
+            lambda a, b: jnp.where(window_end[step_idx], b, a), adapt, fin)
+        return (qs, logps, grads, adapt), None
+
+    def sample_step(carry, key):
+        qs, logps, grads, eps, inv_mass = carry
+        keys = jax.random.split(key, n_chains)
+        qs, logps, grads, info = kernel_all(qs, logps, grads, keys, eps,
+                                            inv_mass)
+        out = (qs, logps, info["accept_prob"], info["diverging"],
+               info["n_leapfrog"])
+        return (qs, logps, grads, eps, inv_mass), out
+
+    logps0, grads0 = jax.vmap(logp_grad)(initial_position)
+    adapt = _adapt_init(initial_step_size, dim, dtype)
+    warm_keys = jax.random.split(key, num_warmup + 1)
+    carry = (initial_position, logps0, grads0, adapt)
+    (qs, logps, grads, adapt), _ = jax.lax.scan(
+        warmup_step, carry,
+        (jnp.arange(num_warmup), warm_keys[:num_warmup]))
+    eps_final = jnp.exp(adapt.log_eps_bar)
+    sample_keys = jax.random.split(warm_keys[-1], num_samples)
+    carry = (qs, logps, grads, eps_final, adapt.inv_mass)
+    _, (qs_all, logps_all, accepts, divs, n_leaps) = jax.lax.scan(
+        sample_step, carry, sample_keys)
+    # scan stacked on the draw axis: (draws, chains, ...) -> (chains, draws)
+    samples = jnp.swapaxes(qs_all, 0, 1)
+    return NUTSResult(
+        samples, jnp.swapaxes(logps_all, 0, 1),
+        jnp.swapaxes(accepts, 0, 1), jnp.swapaxes(divs, 0, 1),
+        jnp.swapaxes(n_leaps, 0, 1),
+        jnp.broadcast_to(eps_final, (n_chains,)),
+        jnp.broadcast_to(adapt.inv_mass, (n_chains, dim)))

@@ -109,3 +109,61 @@ def test_summarize():
     df = summarize_chains(samples, names=["a", "b"])
     assert list(df.index) == ["a", "b"]
     assert (df["r_hat"] < 1.05).all()
+
+
+def test_pooled_adaptation_gaussian():
+    """Pooled cross-chain warmup: shared step size + mass matrix, accurate
+    moments on a correlated anisotropic Gaussian."""
+    cov = np.array([[4.0, 0.9], [0.9, 0.25]])
+    prec = jnp.asarray(np.linalg.inv(cov))
+
+    def logp(q):
+        return -0.5 * q @ prec @ q
+
+    q0 = jax.random.normal(jax.random.PRNGKey(0), (8, 2))
+    res = jax.jit(lambda: sample_nuts(
+        logp, q0, jax.random.PRNGKey(1), num_warmup=300, num_samples=500,
+        pooled=True))()
+    s = np.asarray(res.samples).reshape(-1, 2)
+    np.testing.assert_allclose(s.mean(0), [0.0, 0.0], atol=0.3)
+    np.testing.assert_allclose(s.var(0), [4.0, 0.25], rtol=0.25)
+    # adaptation state is shared across chains
+    assert np.unique(np.asarray(res.step_size)).size == 1
+    assert np.unique(np.asarray(res.inv_mass[:, 0])).size == 1
+    # mass matrix approximates the marginal variances
+    np.testing.assert_allclose(np.asarray(res.inv_mass[0]), [4.0, 0.25],
+                               rtol=0.5)
+
+
+def test_pooled_adaptation_over_mesh():
+    """axis_name pools the Welford statistics across a shard_map mesh: all
+    devices converge to the same adaptation state via psum/pmean."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    if len(jax.devices()) < 2:
+        import pytest
+        pytest.skip("needs multiple devices")
+    n_dev = len(jax.devices())
+    prec = jnp.asarray(np.linalg.inv(np.array([[4.0, 0.9], [0.9, 0.25]])))
+
+    def logp(q):
+        return -0.5 * q @ prec @ q
+
+    mesh = Mesh(np.array(jax.devices()), ("chains",))
+    q0 = jax.random.normal(jax.random.PRNGKey(0), (2 * n_dev, 2))
+    keys = jax.random.split(jax.random.PRNGKey(1), n_dev)
+
+    def per_device(q0_local, key_local):
+        return sample_nuts(logp, q0_local, key_local[0], num_warmup=200,
+                           num_samples=200, pooled=True, axis_name="chains")
+
+    f = jax.jit(shard_map(per_device, mesh=mesh,
+                          in_specs=(P("chains"), P("chains")),
+                          out_specs=P("chains")))
+    res = f(q0, keys)
+    # identical pooled state on every device
+    assert np.unique(np.asarray(res.step_size)).size == 1
+    assert np.unique(np.asarray(res.inv_mass[:, 0])).size == 1
+    s = np.asarray(res.samples).reshape(-1, 2)
+    np.testing.assert_allclose(s.var(0), [4.0, 0.25], rtol=0.4)
