@@ -39,10 +39,11 @@ def _measure(model_name: str, configure_kwargs: dict, batch_size: int = 4096,
         key, (batch_size, u0.shape[0]), dtype=jnp.float32)
 
     # batched sweep path: vmapped steady-state/linearize + lane-batched
-    # Pallas cycle reduction + fused Pallas constant-gain filter tail
+    # Pallas cycle reduction + Pallas Riccati settle + fused Pallas
+    # constant-gain filter tail
     fn = jax.jit(ss.build_batched_loglik(
         np.asarray(data, dtype=np.float32),
-        n_settle=ss.kalman_settle, policy="pallas"))
+        n_settle=ss.kalman_settle, policy="pallas", settle="pallas"))
     out = jax.block_until_ready(fn(batch))  # compile + sanity
     n_finite = int(jnp.sum(jnp.isfinite(out)))
     assert n_finite > batch_size // 2, \

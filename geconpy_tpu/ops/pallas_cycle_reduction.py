@@ -48,29 +48,47 @@ def static_pivot_order(B_calib: np.ndarray) -> np.ndarray:
     return np.argmax(P.T, axis=1).astype(np.int32)
 
 
-def _mm(A, B, n):
-    """Lane-layout matmul: (n,n,BT) @ (n,m,BT) -> (n,m,BT).
+def _mm(A, B, n=None):
+    """Lane-layout matmul: (r,c,BT) @ (c,m,BT) -> (r,m,BT).
 
     Sum of outer products over the contraction index; extraction is done
     with one-hot masks (Mosaic TPU has no dynamic_slice inside kernels).
     """
+    c = A.shape[1]
     rows_a = jax.lax.broadcasted_iota(jnp.int32, A.shape[:2], 1)[..., None]
     rows_b = jax.lax.broadcasted_iota(jnp.int32, B.shape[:2], 0)[..., None]
     zero_a = jnp.zeros_like(A)
     zero_b = jnp.zeros_like(B)
 
     def step(l, acc):
-        a_col = jnp.sum(jnp.where(rows_a == l, A, zero_a), axis=1)  # (n, BT)
+        a_col = jnp.sum(jnp.where(rows_a == l, A, zero_a), axis=1)  # (r, BT)
         b_row = jnp.sum(jnp.where(rows_b == l, B, zero_b), axis=0)  # (m, BT)
         return acc + a_col[:, None, :] * b_row[None, :, :]
 
-    return jax.lax.fori_loop(0, n, step, jnp.zeros(
-        (n,) + B.shape[1:], B.dtype))
+    return jax.lax.fori_loop(0, c, step, jnp.zeros(
+        (A.shape[0],) + B.shape[1:], B.dtype))
 
 
-def _gj_solve(A1, RHS, n):
+def _mmT(A, B):
+    """Lane-layout A @ B^T: (r,c,BT) x (m,c,BT) -> (r,m,BT)."""
+    c = A.shape[1]
+    cols_a = jax.lax.broadcasted_iota(jnp.int32, A.shape[:2], 1)[..., None]
+    cols_b = jax.lax.broadcasted_iota(jnp.int32, B.shape[:2], 1)[..., None]
+    zero_a = jnp.zeros_like(A)
+    zero_b = jnp.zeros_like(B)
+
+    def step(l, acc):
+        a_col = jnp.sum(jnp.where(cols_a == l, A, zero_a), axis=1)  # (r, BT)
+        b_col = jnp.sum(jnp.where(cols_b == l, B, zero_b), axis=1)  # (m, BT)
+        return acc + a_col[:, None, :] * b_col[None, :, :]
+
+    return jax.lax.fori_loop(0, c, step, jnp.zeros(
+        (A.shape[0], B.shape[0], A.shape[-1]), A.dtype))
+
+
+def _gj_solve(A1, RHS, n, with_logdet: bool = False):
     """Partially-pivoted Gauss-Jordan:
-    (n,n,BT), (n,m,BT) -> (A1^{-1} RHS, min|piv|).
+    (n,n,BT), (n,m,BT) -> (A1^{-1} RHS, min|piv|[, log|det A1|]).
 
     Per-lane partial pivoting: each batch element independently argmaxes
     its remaining column, swaps via one-hot masked writes, then the pivot
@@ -88,7 +106,7 @@ def _gj_solve(A1, RHS, n):
     zero = jnp.zeros_like(aug)
 
     def step(k, carry):
-        aug, minpiv = carry
+        aug, minpiv, logdet = carry
         colk = jnp.sum(jnp.where(cols == k, aug, zero), axis=1)   # (n, BT)
         # per-lane pivot choice among rows >= k
         mag = jnp.where(rows1 >= k, jnp.abs(colk),
@@ -112,10 +130,14 @@ def _gj_solve(A1, RHS, n):
         col = jnp.where(rows1 == k, jnp.zeros_like(col), col)
         aug = aug - col[:, None, :] * r[None, :, :]
         aug = jnp.where(rows == k, r[None, :, :], aug)
-        return aug, jnp.minimum(minpiv, jnp.abs(piv))
+        return (aug, jnp.minimum(minpiv, jnp.abs(piv)),
+                logdet + jnp.log(jnp.abs(piv)))
 
-    aug, minpiv = jax.lax.fori_loop(
-        0, n, step, (aug, jnp.full((bt,), jnp.inf, aug.dtype)))
+    aug, minpiv, logdet = jax.lax.fori_loop(
+        0, n, step, (aug, jnp.full((bt,), jnp.inf, aug.dtype),
+                     jnp.zeros((bt,), aug.dtype)))
+    if with_logdet:
+        return aug[:, n:], minpiv, logdet
     return aug[:, n:], minpiv
 
 

@@ -612,6 +612,7 @@ class DSGEStateSpace:
     def build_batched_loglik(self, data: np.ndarray, n_settle: int = 32,
                              pallas_tile: int = 512,
                              policy: str = "xla",
+                             settle: str = "xla",
                              cr_tile: int = 128,
                              cr_iters: int = 18,
                              interpret: bool = False):
@@ -636,6 +637,8 @@ class DSGEStateSpace:
             raise ValueError("build_batched_loglik requires fully observed data")
         if policy not in ("xla", "pallas"):
             raise ValueError(f"policy must be 'xla' or 'pallas', got {policy!r}")
+        if settle not in ("xla", "pallas"):
+            raise ValueError(f"settle must be 'xla' or 'pallas', got {settle!r}")
         if policy == "pallas" and self.solver not in ("cycle_reduction",):
             raise ValueError("policy='pallas' requires solver='cycle_reduction'")
         y = jnp.asarray(data)
@@ -643,6 +646,7 @@ class DSGEStateSpace:
 
         from ..ops.kalman import steady_state_filter_parts
         from ..ops.pallas_filter import pallas_filter_tail
+        from ..ops.pallas_settle import pallas_settle_parts
 
         pre_policy, policy_fn, post_policy = self._solution_pieces()
 
@@ -650,6 +654,16 @@ class DSGEStateSpace:
             ll_head, x_pred0, M, TK, Finv, const = steady_state_filter_parts(
                 y_head.astype(sol["T_aug"].dtype), sol["T_aug"], sol["R_aug"],
                 sol["Q"], sol["Z"], sol["H"], d=sol["d"])
+            ok = sol["ss_success"] & sol["solver_success"] & sol["stable"]
+            return (ll_head, sol["logprior"], ok, x_pred0, M, TK, Finv,
+                    const, sol["Z"], sol["d"])
+
+        def batched_settle(sol, dtype):
+            """Whole-batch settle phase in the Pallas Riccati kernel."""
+            RQR = jax.vmap(lambda r, q: r @ q @ r.T)(sol["R_aug"], sol["Q"])
+            ll_head, x_pred0, M, TK, Finv, const = pallas_settle_parts(
+                y_head.astype(dtype), sol["T_aug"], RQR, sol["Z"],
+                sol["H"], sol["d"], tile=cr_tile, interpret=interpret)
             ok = sol["ss_success"] & sol["solver_success"] & sol["stable"]
             return (ll_head, sol["logprior"], ok, x_pred0, M, TK, Finv,
                     const, sol["Z"], sol["d"])
@@ -671,8 +685,12 @@ class DSGEStateSpace:
 
         def batched(U):
             sol = solved(U)
-            (ll_head, logprior, ok, x_pred0, M, TK, Finv, const, Zb, db) = \
-                jax.vmap(per_draw_tail)(sol)
+            if settle == "pallas":
+                (ll_head, logprior, ok, x_pred0, M, TK, Finv, const, Zb,
+                 db) = batched_settle(sol, U.dtype)
+            else:
+                (ll_head, logprior, ok, x_pred0, M, TK, Finv, const, Zb,
+                 db) = jax.vmap(per_draw_tail)(sol)
             ll_tail = pallas_filter_tail(
                 y_tail.astype(U.dtype), M, TK, Zb, db, Finv, const, x_pred0,
                 tile=pallas_tile, interpret=interpret)
