@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["pallas_cycle_reduction", "static_pivot_order"]
+__all__ = ["pallas_cycle_reduction", "pallas_cycle_reduction_policy",
+           "static_pivot_order"]
 
 
 def static_pivot_order(B_calib: np.ndarray) -> np.ndarray:
@@ -172,6 +173,49 @@ def _cr_kernel(A_ref, B_ref, C_ref, T_ref, flag_ref, *, n: int, n_iter: int):
     flag_ref[...] = jnp.stack([jnp.minimum(minpiv, mp_final), tail])
 
 
+def _cr_sel_kernel(A_ref, B_ref, C_ref, D_ref, T_ref, R_ref, flag_ref, *,
+                   n: int, n_iter: int):
+    """Cycle reduction + reduced selection matrix R = -(B + C T)^{-1} D
+    and the policy residual  max|A + B T + C T^2|  (success evidence
+    without any XLA-side recomputation)."""
+    A0 = A_ref[...]
+    A1 = B_ref[...]
+    A2 = C_ref[...]
+    D = D_ref[...]
+    bt = A0.shape[-1]
+    A0_orig, B_orig, C_orig = A0, A1, A2
+    Ahat = A1
+    minpiv0 = jnp.full((bt,), jnp.inf, A0.dtype)
+
+    def body(_, carry):
+        A0, A1, A2, Ahat, minpiv = carry
+        sol, mp = _gj_solve(A1, jnp.concatenate([A0, A2], axis=1), n)
+        Q0 = sol[:, :n]
+        Q2 = sol[:, n:]
+        A1_new = A1 - _mm(A0, Q2, n) - _mm(A2, Q0, n)
+        Ahat_new = Ahat - _mm(A2, Q0, n)
+        A0_new = -_mm(A0, Q0, n)
+        A2_new = -_mm(A2, Q2, n)
+        return (A0_new, A1_new, A2_new, Ahat_new, jnp.minimum(minpiv, mp))
+
+    A0f, _, A2f, Ahatf, minpiv = jax.lax.fori_loop(
+        0, n_iter, body, (A0, A1, A2, Ahat, minpiv0))
+
+    T, mp_final = _gj_solve(Ahatf, -A0_orig, n)
+    T_ref[...] = T
+
+    CT = _mm(C_orig, T)
+    M = B_orig + CT
+    R, mp_sel = _gj_solve(M, -D, n)
+    R_ref[...] = R
+
+    resid = jnp.max(jnp.abs(A0_orig + _mm(M, T)), axis=(0, 1))
+    tail = jnp.max(jnp.abs(A0f), axis=(0, 1)) + jnp.max(jnp.abs(A2f),
+                                                        axis=(0, 1))
+    flag_ref[...] = jnp.stack(
+        [jnp.minimum(jnp.minimum(minpiv, mp_final), mp_sel), tail, resid])
+
+
 def pallas_cycle_reduction(A, B, C, order: np.ndarray | None = None,
                            n_iter: int = 16, tile: int = 128,
                            tol: float | None = None,
@@ -243,3 +287,80 @@ def pallas_cycle_reduction(A, B, C, order: np.ndarray | None = None,
     success = jnp.isfinite(tail) & (tail < tol) & (minpiv > min_pivot) \
         & jnp.all(jnp.isfinite(T), axis=(1, 2))
     return T, success
+
+
+def pallas_cycle_reduction_policy(A, B, C, D, order: np.ndarray | None = None,
+                                  n_iter: int = 16, tile: int = 128,
+                                  tol: float | None = None,
+                                  min_pivot: float = 1e-7,
+                                  interpret: bool = False):
+    """Batched full policy solve on the (reduced) pencil:
+    (B,n,n) x3, (B,n,m) -> (T, R, success, resid).
+
+    Adds the shock-selection solve ``R = -(B + C T)^{-1} D`` and the policy
+    residual ``max|A + B T + C T^2|`` to the cycle-reduction kernel, so the
+    batched sweep path needs no XLA-side selection solve or residual
+    recomputation.  ``success`` folds pivots, tail contraction, and the
+    residual (dtype-aware thresholds).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .tolerances import success_tol
+
+    Bn, n, _ = A.shape
+    m = D.shape[-1]
+    dtype = A.dtype
+    if tol is None:
+        tol = 200 * float(np.finfo(np.dtype(dtype)).eps)
+    resid_tol = float(success_tol(dtype, 1e-6))
+    if order is not None:
+        idx = jnp.asarray(order)
+        A, B, C, D = A[:, idx], B[:, idx], C[:, idx], D[:, idx]
+    pad = (-Bn) % tile
+    Bp = Bn + pad
+
+    def to_lanes(a):
+        a = jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], dtype)], axis=0) if pad else a
+        return jnp.transpose(a, (1, 2, 0))
+
+    A_l, B_l, C_l, D_l = (to_lanes(x) for x in (A, B, C, D))
+    if pad:
+        eye_pad = jnp.eye(n, dtype=dtype)[:, :, None]
+        B_l = B_l.at[:, :, Bn:].add(eye_pad)
+
+    n_tiles = Bp // tile
+    kernel = functools.partial(_cr_sel_kernel, n=n, n_iter=n_iter)
+
+    def spec(*shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape + (tile,),
+                            lambda i, nd=nd: (0,) * nd + (i,),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pl.GridSpec(
+        grid=(n_tiles,),
+        in_specs=[spec(n, n), spec(n, n), spec(n, n), spec(n, m)],
+        out_specs=[spec(n, n), spec(n, m), spec(3)],
+    )
+
+    T_l, R_l, flags = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((n, n, Bp), dtype),
+                   jax.ShapeDtypeStruct((n, m, Bp), dtype),
+                   jax.ShapeDtypeStruct((3, Bp), dtype)],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(A_l, B_l, C_l, D_l)
+
+    T = jnp.transpose(T_l, (2, 0, 1))[:Bn]
+    R = jnp.transpose(R_l, (2, 0, 1))[:Bn]
+    minpiv = flags[0, :Bn]
+    tail = flags[1, :Bn]
+    resid = flags[2, :Bn]
+    success = jnp.isfinite(tail) & (tail < tol) & (minpiv > min_pivot) \
+        & jnp.isfinite(resid) & (resid < resid_tol) \
+        & jnp.all(jnp.isfinite(T), axis=(1, 2)) \
+        & jnp.all(jnp.isfinite(R), axis=(1, 2))
+    return T, R, success, resid

@@ -30,8 +30,8 @@ from .cycle_reduction import cycle_reduction, selection_matrix
 from .precision import highest_precision
 
 __all__ = ["StaticReduction", "ReducedPencil", "plan_static_reduction",
-           "reduce_pencil", "policy_from_reduced", "finalize_reduced_policy",
-           "solve_policy_reduced"]
+           "reduce_pencil", "policy_from_reduced", "expand_reduced_policy",
+           "finalize_reduced_policy", "solve_policy_reduced"]
 
 
 class StaticReduction(NamedTuple):
@@ -89,10 +89,12 @@ class ReducedPencil(NamedTuple):
     B1: jax.Array
     C1: jax.Array
     R_s: jax.Array    # (n_s, n_s) upper-triangular static leading block
+    D2: jax.Array | None = None   # transformed shock loadings (dynamic rows)
+    D1: jax.Array | None = None   # transformed shock loadings (static rows)
 
 
 @highest_precision
-def reduce_pencil(A, B, C, plan: StaticReduction) -> ReducedPencil:
+def reduce_pencil(A, B, C, plan: StaticReduction, D=None) -> ReducedPencil:
     """Complete-QR row transform eliminating the static columns (primal
     only — no JAX derivative; callers stop_gradient the inputs)."""
     s_idx = jnp.asarray(plan.static_idx, dtype=jnp.int32)
@@ -108,8 +110,39 @@ def reduce_pencil(A, B, C, plan: StaticReduction) -> ReducedPencil:
     A_d = Qt @ A[:, d_idx]                            # (n, n_d)
     B_d = Qt @ B[:, d_idx]
     C_d = Qt @ C[:, d_idx]
+    if D is None:
+        return ReducedPencil(A_d[n_s:], B_d[n_s:], C_d[n_s:],
+                             A_d[:n_s], B_d[:n_s], C_d[:n_s], R_s)
+    D_t = Qt @ D
     return ReducedPencil(A_d[n_s:], B_d[n_s:], C_d[n_s:],
-                         A_d[:n_s], B_d[:n_s], C_d[:n_s], R_s)
+                         A_d[:n_s], B_d[:n_s], C_d[:n_s], R_s,
+                         D_t[n_s:], D_t[:n_s])
+
+
+@highest_precision
+def expand_reduced_policy(T_d, R_d, red: ReducedPencil,
+                          plan: StaticReduction, n: int):
+    """Scatter (T_d, R_d) from the dynamic core back to the full system,
+    backing out the static rows of both the policy and selection matrices
+    (the selection solve already happened on the reduced system)."""
+    dtype = T_d.dtype
+    s_idx = jnp.asarray(plan.static_idx, dtype=jnp.int32)
+    d_idx = jnp.asarray(plan.dynamic_idx, dtype=jnp.int32)
+    M1 = red.B1 + red.C1 @ T_d
+    # statics: R_s s_t = -(A1 d_{t-1} + M1 d_t + D1 eps),
+    #          d_t = T_d d_{t-1} + R_d eps
+    T_s = -jax.scipy.linalg.solve_triangular(red.R_s, red.A1 + M1 @ T_d,
+                                             lower=False)
+    R_s_rows = -jax.scipy.linalg.solve_triangular(red.R_s,
+                                                  M1 @ R_d + red.D1,
+                                                  lower=False)
+    T = jnp.zeros((n, n), dtype)
+    T = T.at[jnp.ix_(d_idx, d_idx)].set(T_d)
+    T = T.at[jnp.ix_(s_idx, d_idx)].set(T_s)
+    R = jnp.zeros((n, R_d.shape[1]), dtype)
+    R = R.at[d_idx, :].set(R_d)
+    R = R.at[s_idx, :].set(R_s_rows)
+    return T, R
 
 
 @highest_precision

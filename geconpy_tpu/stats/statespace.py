@@ -720,48 +720,47 @@ class DSGEStateSpace:
     def _build_pallas_policy_batch(self, cr_tile: int, cr_iters: int,
                                    interpret: bool):
         """Batched policy solve: vmapped QR reduction -> one Pallas
-        cycle-reduction call over the whole batch -> vmapped static
-        back-substitution + selection/flags.  Primal-only (sweeps)."""
-        from ..ops.pallas_cycle_reduction import pallas_cycle_reduction
-        from ..ops.static_reduction import (finalize_reduced_policy,
-                                            policy_from_reduced,
-                                            reduce_pencil)
+        cycle-reduction + selection call over the whole batch -> vmapped
+        static back-substitution.  The kernel's pivot/tail/residual flags
+        subsume the XLA-side residual recomputation; only the stability
+        check (spectral radius of T_d) runs outside.  Primal-only (sweeps).
+        """
+        from ..ops.pallas_cycle_reduction import pallas_cycle_reduction_policy
+        from ..ops.static_reduction import expand_reduced_policy, reduce_pencil
+        from ..models.perturbation import spectral_radius
 
         plan = self.model.static_reduction
         order = self._static_pivot_order()
         n = self.model.functions.n_variables
-        cr_tol = self._cr_tol
 
         has_statics = len(plan.static_idx) > 0
 
         def solve_batch(pre):
             A, B, C, D = pre["A"], pre["B"], pre["C"], pre["D"]
             if has_statics:
-                red = jax.vmap(lambda a, b, c: reduce_pencil(a, b, c, plan))(
-                    A, B, C)
-                A2, B2, C2 = red.A2, red.B2, red.C2
+                red = jax.vmap(
+                    lambda a, b, c, d: reduce_pencil(a, b, c, plan, D=d))(
+                    A, B, C, D)
+                A2, B2, C2, D2 = red.A2, red.B2, red.C2, red.D2
             else:
                 red = None
-                A2, B2, C2 = A, B, C
-            T_d, cr_ok = pallas_cycle_reduction(
-                A2, B2, C2, order=order, n_iter=cr_iters, tile=cr_tile,
+                A2, B2, C2, D2 = A, B, C, D
+            T_d, R_d, cr_ok, _resid = pallas_cycle_reduction_policy(
+                A2, B2, C2, D2, order=order, n_iter=cr_iters, tile=cr_tile,
                 interpret=interpret)
 
+            rho = jax.vmap(spectral_radius)(T_d)
+            stable_ok = jnp.isfinite(rho) & (rho < 1.0 + 1e-6)
+
             if has_statics:
-                def expand(a, b, c, d, red_i, t_d, ok_i):
-                    T = policy_from_reduced(t_d, red_i, plan, n)
-                    T, R, success, _resid = finalize_reduced_policy(
-                        a, b, c, d, T, t_d, ok_i, tol=cr_tol)
-                    return T, R, success
-
-                return jax.vmap(expand)(A, B, C, D, red, T_d, cr_ok)
-
-            def expand_full(a, b, c, d, t, ok_i):
-                T, R, success, _resid = finalize_reduced_policy(
-                    a, b, c, d, t, t, ok_i, tol=cr_tol)
-                return T, R, success
-
-            return jax.vmap(expand_full)(A, B, C, D, T_d, cr_ok)
+                T, R = jax.vmap(
+                    lambda t, r, red_i: expand_reduced_policy(
+                        t, r, red_i, plan, n))(T_d, R_d, red)
+            else:
+                T, R = T_d, R_d
+            success = cr_ok & stable_ok \
+                & jax.vmap(lambda r: jnp.all(jnp.isfinite(r)))(R)
+            return T, R, success
 
         return solve_batch
 
