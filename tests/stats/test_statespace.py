@@ -178,3 +178,25 @@ def test_batched_pallas_policy_parity():
     both = np.isfinite(ll_p) & np.isfinite(ll_r)
     assert both.sum() >= 6
     np.testing.assert_allclose(ll_p[both], ll_r[both], rtol=1e-8)
+
+
+def test_batched_pallas_path_rbc():
+    """The fused Pallas policy+settle sweep path also reproduces the
+    standard logpost on a small model (exercises the static
+    back-substitution of both T and R)."""
+    model = model_from_gcn(str(DATA / "rbc_estimation.gcn"))
+    ss = DSGEStateSpace(model).configure(
+        observed_states=["Y", "C"], measurement_error=["Y", "C"],
+        filter_type="steady_state", kalman_settle=16)
+    data, draw = ss.data_from_prior(jax.random.PRNGKey(0), periods=60)
+    u0 = ss.unconstrain(draw)
+    U = u0[None] + 0.1 * jax.random.normal(jax.random.PRNGKey(1),
+                                           (8, len(u0)))
+    f_pal = jax.jit(ss.build_batched_loglik(
+        np.asarray(data), n_settle=16, policy="pallas", settle="pallas",
+        cr_tile=8, interpret=True))
+    lp_ref = jax.jit(jax.vmap(ss.build_logpost(np.asarray(data))))
+    ll_p, ll_r = np.asarray(f_pal(U)), np.asarray(lp_ref(U))
+    both = np.isfinite(ll_p) & np.isfinite(ll_r)
+    assert both.sum() >= 6
+    np.testing.assert_allclose(ll_p[both], ll_r[both], rtol=1e-9)
