@@ -317,6 +317,24 @@ def pallas_cycle_reduction_policy(A, B, C, D, order: np.ndarray | None = None,
     if order is not None:
         idx = jnp.asarray(order)
         A, B, C, D = A[:, idx], B[:, idx], C[:, idx], D[:, idx]
+    n_orig = n
+    if n < 8:
+        # Mosaic mis-lowers sub-sublane dims: embed into an identity-padded
+        # decoupled system (T/R pad block is exactly zero, pivots are 1)
+        ext = 8 - n
+
+        def embed(M, diag):
+            out = jnp.zeros(M.shape[:1] + (8, 8), dtype)
+            out = out.at[:, :n, :n].set(M)
+            if diag:
+                out = out.at[:, n:, n:].set(jnp.eye(ext, dtype=dtype))
+            return out
+
+        A = embed(A, False)
+        B = embed(B, True)
+        C = embed(C, False)
+        D = jnp.concatenate([D, jnp.zeros((Bn, ext, m), dtype)], axis=1)
+        n = 8
     pad = (-Bn) % tile
     Bp = Bn + pad
 
@@ -354,8 +372,8 @@ def pallas_cycle_reduction_policy(A, B, C, D, order: np.ndarray | None = None,
         interpret=interpret,
     )(A_l, B_l, C_l, D_l)
 
-    T = jnp.transpose(T_l, (2, 0, 1))[:Bn]
-    R = jnp.transpose(R_l, (2, 0, 1))[:Bn]
+    T = jnp.transpose(T_l, (2, 0, 1))[:Bn, :n_orig, :n_orig]
+    R = jnp.transpose(R_l, (2, 0, 1))[:Bn, :n_orig, :]
     minpiv = flags[0, :Bn]
     tail = flags[1, :Bn]
     resid = flags[2, :Bn]
