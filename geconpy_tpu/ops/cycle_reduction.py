@@ -32,7 +32,8 @@ import jax.numpy as jnp
 
 from .precision import highest_precision
 
-__all__ = ["cycle_reduction", "selection_matrix", "solve_policy_cycle_reduction",
+__all__ = ["cycle_reduction", "selection_matrix", "solve_adjoint_sylvester",
+           "solve_policy_cycle_reduction",
            "CycleReductionResult"]
 
 
@@ -104,24 +105,47 @@ def _cr_fwd(A, B, C, tol, maxiter):
 
 
 @highest_precision
+def solve_adjoint_sylvester(M, C, T, G, iters: int = 30):
+    """Solve the adjoint generalized Sylvester equation
+    ``Mᵀ W + Cᵀ W Tᵀ = G``  by Smith doubling.
+
+    Rewrite as the fixed point  W = G₀ - S W Tᵀ  with  S = M⁻ᵀ Cᵀ and
+    G₀ = M⁻ᵀ G, whose Neumann series  W = Σ_k (-S)^k G₀ (Tᵀ)^k  converges
+    because rho(S)·rho(T) < 1 exactly when the pencil has a proper
+    unit-circle dichotomy (rho(T) < 1, |unstable roots| > 1).  Squaring the
+    operators doubles the number of summed terms per iteration, so ``iters``
+    iterations capture 2^iters terms — machine-exact even near unit roots.
+
+    O(n³) per iteration and O(n²) memory, replacing the kron-vectorized
+    solve (O(n⁴) memory, O(n⁶) flops) from the reference's adjoint
+    (``gEconpy/solvers/shared.py:12`` o1_policy_function_adjoints).
+    """
+    Mt_fac = jax.scipy.linalg.lu_factor(M.T)
+    S = -jax.scipy.linalg.lu_solve(Mt_fac, C.T)
+    W = jax.scipy.linalg.lu_solve(Mt_fac, G)
+
+    def body(carry, _):
+        W, S_k, T_k = carry
+        W = W + S_k @ W @ T_k
+        # stop squaring once the factors have underflown to exact zero
+        S_next = S_k @ S_k
+        T_next = T_k @ T_k
+        return (W, S_next, T_next), None
+
+    (W, _, _), _ = jax.lax.scan(body, (W, S, T.T), None, length=iters)
+    return W
+
+
+@highest_precision
 def _cr_bwd(tol, maxiter, residuals, cotangents):
-    """Implicit adjoint.  With M = B + C T, N = C, solve the adjoint
-    generalized Sylvester equation  Mᵀ W + Nᵀ W Tᵀ = T_bar  in vectorized
-    form, then  Ā = -W,  B̄ = -W Tᵀ,  C̄ = -W (Tᵀ)².  (Kron memory is O(n⁴);
-    fine at DSGE scale n ≲ 100 — a Bartels-Stewart path can replace it for
-    larger systems.)
+    """Implicit adjoint.  With M = B + C T, solve the adjoint generalized
+    Sylvester equation  Mᵀ W + Cᵀ W Tᵀ = T_bar  (Smith doubling, O(n³)),
+    then  Ā = -W,  B̄ = -W Tᵀ,  C̄ = -W (Tᵀ)².
     """
     T_bar, _, _ = cotangents  # n_iter / best_crit carry no gradient
     B, C, T = residuals
-    n = T.shape[0]
     M = B + C @ T
-    eye = jnp.eye(n, dtype=T.dtype)
-    # vec is column-stacking in the classical identity; with row-major
-    # flatten, vec_r(A X B) = (A ⊗ Bᵀ) vec_r(X).  Mᵀ W + Nᵀ W Tᵀ = T_bar
-    # row-major:  (Mᵀ ⊗ I + Nᵀ ⊗ T) w = t_bar
-    S = jnp.kron(M.T, eye) + jnp.kron(C.T, T)
-    w = jnp.linalg.solve(S, T_bar.reshape(-1))
-    W = w.reshape(n, n)
+    W = solve_adjoint_sylvester(M, C, T, T_bar)
     A_bar = -W
     B_bar = -W @ T.T
     C_bar = -W @ T.T @ T.T

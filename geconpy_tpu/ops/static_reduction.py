@@ -66,14 +66,12 @@ def _ipt_fwd(A, B, C, T_primal):
 
 @highest_precision
 def _ipt_bwd(residuals, T_bar):
+    from .cycle_reduction import solve_adjoint_sylvester
+
     B, C, T = residuals
-    n = T.shape[0]
     M = B + C @ T
-    eye = jnp.eye(n, dtype=T.dtype)
-    # row-major vec:  (Mᵀ ⊗ I + Cᵀ ⊗ T) w = t_bar   (as in cycle_reduction)
-    S = jnp.kron(M.T, eye) + jnp.kron(C.T, T)
-    w = jnp.linalg.solve(S, T_bar.reshape(-1))
-    W = w.reshape(n, n)
+    # Mᵀ W + Cᵀ W Tᵀ = T_bar  via Smith doubling (as in cycle_reduction)
+    W = solve_adjoint_sylvester(M, C, T, T_bar)
     return (-W, -W @ T.T, -W @ T.T @ T.T, jnp.zeros_like(T))
 
 
