@@ -32,7 +32,7 @@ import numpy as np
 
 from .pallas_cycle_reduction import _gj_solve, _mm, _mmT
 
-__all__ = ["pallas_settle_parts"]
+__all__ = ["pallas_settle_parts", "pallas_settle_filter_loglik"]
 
 _LOG2PI = float(np.log(2.0 * np.pi))
 
@@ -103,6 +103,146 @@ def _settle_kernel(T_ref, RQR_ref, Z_ref, H_ref, d_ref, y_ref,
     TK_ref[...] = TK
     Finv_ref[...] = Finv
     const_ref[...] = -0.5 * (k * _LOG2PI + logdet[None, :])
+
+
+def _fused_kernel(T_ref, RQR_ref, Z_ref, H_ref, d_ref, y_ref, ll_ref, *,
+                  n: int, k: int, n_settle: int, n_total: int,
+                  lyap_iters: int):
+    """Settle phase + constant-gain tail in one kernel: returns the FULL
+    log-likelihood, never materializing M/TK/Finv in HBM."""
+    T = T_ref[...]
+    RQR = RQR_ref[...]
+    Z = Z_ref[...]
+    H = H_ref[...]
+    d = d_ref[...]                       # (k, 1, BT)
+    y = y_ref[...]                       # (n_total, k, BT)
+    bt = T.shape[-1]
+    dtype = T.dtype
+    eye_n = jnp.broadcast_to(jnp.eye(n, dtype=dtype)[:, :, None], (n, n, bt))
+    eye_k = jnp.broadcast_to(jnp.eye(k, dtype=dtype)[:, :, None], (k, k, bt))
+    steps = jax.lax.broadcasted_iota(jnp.int32, (n_total, k), 0)[..., None]
+
+    def y_at(t):
+        # one-hot masked extraction (1D->3D ref-index casts are unsupported)
+        return jnp.sum(jnp.where(steps == t, y, jnp.zeros_like(y)),
+                       axis=0)[:, None, :]                   # (k, 1, BT)
+
+    def lyap_body(_, carry):
+        A, P = carry
+        P = P + _mmT(_mm(A, P), A)
+        A = _mm(A, A)
+        return A, P
+
+    _, P = jax.lax.fori_loop(0, lyap_iters, lyap_body, (T, RQR))
+
+    x = jnp.zeros((n, 1, bt), dtype)
+    ll = jnp.zeros((1, bt), dtype)
+
+    def settle_step(t, carry):
+        x, P, ll = carry
+        x_pred = _mm(T, x)
+        P_pred = _mmT(_mm(T, P), T) + RQR
+        v = y_at(t) - _mm(Z, x_pred) - d
+        PZt = _mmT(P_pred, Z)
+        F = _mm(Z, PZt) + H
+        sol, _mp, logdet = _gj_solve(F, jnp.concatenate([v, eye_k], axis=1),
+                                     k, with_logdet=True)
+        w = sol[:, :1]
+        Finv = sol[:, 1:]
+        K = _mm(PZt, Finv)
+        x = x_pred + _mm(K, v)
+        IKZ = eye_n - _mm(K, Z)
+        P = _mmT(_mm(IKZ, P_pred), IKZ) + _mmT(_mm(K, H), K)
+        vFv = jnp.sum(v * w, axis=0)
+        ll = ll - 0.5 * (k * _LOG2PI + logdet[None, :] + vFv)
+        return x, P, ll
+
+    x, P, ll = jax.lax.fori_loop(0, n_settle, settle_step, (x, P, ll))
+
+    # frozen-gain tail, state in prediction form (x = E[s_t | y_{1:t-1}])
+    P_pred = _mmT(_mm(T, P), T) + RQR
+    PZt = _mmT(P_pred, Z)
+    F = _mm(Z, PZt) + H
+    Finv, _mp, logdet = _gj_solve(F, eye_k, k, with_logdet=True)
+    K = _mm(PZt, Finv)
+    TK = _mm(T, K)
+    M = T - _mm(TK, Z)
+    const = -0.5 * (k * _LOG2PI + logdet[None, :])           # (1, BT)
+    x = _mm(T, x)
+
+    def tail_step(t, carry):
+        x, ll = carry
+        yd = y_at(t) - d                                      # (k, 1, BT)
+        v = yd - _mm(Z, x)
+        quad = jnp.sum(v * _mm(Finv, v), axis=0)              # (1, BT)
+        ll = ll + const - 0.5 * quad
+        x = _mm(M, x) + _mm(TK, yd)
+        return x, ll
+
+    _, ll = jax.lax.fori_loop(n_settle, n_total, tail_step, (x, ll))
+    ll_ref[...] = ll
+
+
+def pallas_settle_filter_loglik(y, T, RQR, Z, H, d, n_settle: int = 32,
+                                tile: int = 128, interpret: bool = False):
+    """Fused settle + constant-gain Kalman log-likelihood: (B,) totals.
+
+    One kernel launch per tile runs Lyapunov P0, ``n_settle`` exact Riccati
+    steps, and the frozen-gain tail over all remaining observations —
+    M/TK/Finv never leave VMEM.  Semantics match
+    ``steady_state_kalman_loglik`` for fully-observed data.
+
+    Note: at SW-2007 scale the separate settle-kernel + tail-kernel path is
+    ~20% faster (the per-step one-hot y extraction over the full sample
+    dominates the cheap tail updates; Mosaic cannot ref-index a time series
+    into the 3D lane layout directly).  Prefer this fused variant when HBM
+    for the (B, n, n) frozen-gain intermediates is the binding constraint.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Bn, n, _ = T.shape
+    k = Z.shape[1]
+    n_total = y.shape[0]
+    dtype = T.dtype
+    lyap_iters = 10
+    pad = (-Bn) % tile
+    Bp = Bn + pad
+
+    def to_lanes(a):
+        a = jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], dtype)], axis=0) if pad else a
+        return jnp.moveaxis(a, 0, -1)
+
+    T_l, RQR_l, Z_l, H_l = (to_lanes(m) for m in (T, RQR, Z, H))
+    d_l = to_lanes(d)[:, None, :]
+    if pad:
+        H_l = H_l.at[:, :, Bn:].add(jnp.eye(k, dtype=dtype)[:, :, None])
+    y_l = jnp.broadcast_to(jnp.asarray(y, dtype)[:, :, None],
+                           (n_total, k, Bp))
+
+    n_tiles = Bp // tile
+    kernel = functools.partial(_fused_kernel, n=n, k=k, n_settle=n_settle,
+                               n_total=n_total, lyap_iters=lyap_iters)
+
+    def spec(*shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape + (tile,),
+                            lambda i, nd=nd: (0,) * nd + (i,),
+                            memory_space=pltpu.VMEM)
+
+    ll = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, Bp), dtype),
+        grid_spec=pl.GridSpec(
+            grid=(n_tiles,),
+            in_specs=[spec(n, n), spec(n, n), spec(k, n), spec(k, k),
+                      spec(k, 1), spec(n_total, k)],
+            out_specs=spec(1)),
+        interpret=interpret,
+    )(T_l, RQR_l, Z_l, H_l, d_l, y_l)
+
+    return jnp.moveaxis(ll, -1, 0)[:Bn, 0]
 
 
 def pallas_settle_parts(y_head, T, RQR, Z, H, d, tile: int = 128,

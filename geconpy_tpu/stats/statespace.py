@@ -637,8 +637,9 @@ class DSGEStateSpace:
             raise ValueError("build_batched_loglik requires fully observed data")
         if policy not in ("xla", "pallas"):
             raise ValueError(f"policy must be 'xla' or 'pallas', got {policy!r}")
-        if settle not in ("xla", "pallas"):
-            raise ValueError(f"settle must be 'xla' or 'pallas', got {settle!r}")
+        if settle not in ("xla", "pallas", "fused"):
+            raise ValueError(
+                f"settle must be 'xla', 'pallas' or 'fused', got {settle!r}")
         if policy == "pallas" and self.solver not in ("cycle_reduction",):
             raise ValueError("policy='pallas' requires solver='cycle_reduction'")
         y = jnp.asarray(data)
@@ -646,7 +647,8 @@ class DSGEStateSpace:
 
         from ..ops.kalman import steady_state_filter_parts
         from ..ops.pallas_filter import pallas_filter_tail
-        from ..ops.pallas_settle import pallas_settle_parts
+        from ..ops.pallas_settle import (pallas_settle_filter_loglik,
+                                         pallas_settle_parts)
 
         pre_policy, policy_fn, post_policy = self._solution_pieces()
 
@@ -685,6 +687,17 @@ class DSGEStateSpace:
 
         def batched(U):
             sol = solved(U)
+            if settle == "fused":
+                # one kernel: settle + constant-gain tail, full loglik
+                RQR = jax.vmap(lambda r, q: r @ q @ r.T)(sol["R_aug"],
+                                                         sol["Q"])
+                ll = pallas_settle_filter_loglik(
+                    y.astype(U.dtype), sol["T_aug"], RQR, sol["Z"],
+                    sol["H"], sol["d"], n_settle=n_settle, tile=cr_tile,
+                    interpret=interpret)
+                ok = sol["ss_success"] & sol["solver_success"] & sol["stable"]
+                ll = ll + sol["logprior"]
+                return jnp.where(ok & jnp.isfinite(ll), ll, -jnp.inf)
             if settle == "pallas":
                 (ll_head, logprior, ok, x_pred0, M, TK, Finv, const, Zb,
                  db) = batched_settle(sol, U.dtype)

@@ -57,3 +57,21 @@ def test_batched_loglik_pallas_settle_parity(sw_solutions):
     both = np.isfinite(ll_p) & np.isfinite(ll_r)
     assert both.sum() >= 3
     np.testing.assert_allclose(ll_p[both], ll_r[both], rtol=1e-8)
+
+
+def test_fused_settle_filter_loglik(sw_solutions):
+    """The single-kernel settle+tail loglik matches the XLA
+    steady-state filter exactly."""
+    from geconpy_tpu.ops.kalman import steady_state_kalman_loglik
+    from geconpy_tpu.ops.pallas_settle import pallas_settle_filter_loglik
+
+    _ss, sol, _y_head, data, _U = sw_solutions
+    T, R, Q, Z, H, d = (sol["T_aug"], sol["R_aug"], sol["Q"], sol["Z"],
+                        sol["H"], sol["d"])
+    RQR = jax.vmap(lambda r, q: r @ q @ r.T)(R, Q)
+    y = jnp.asarray(data)
+    ref = jax.vmap(lambda t, r, q, z, h, dd: steady_state_kalman_loglik(
+        y, t, r, q, z, h, d=dd, n_settle=16))(T, R, Q, Z, H, d)
+    pal = pallas_settle_filter_loglik(y, T, RQR, Z, H, d, n_settle=16,
+                                      tile=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=1e-8)
