@@ -47,3 +47,23 @@ def test_estimation_smoke(setup):
     summary = res.summary()
     assert set(summary.index) == {"rho_A", "sigma_A"}
     assert (summary["ess"] > 15).all()
+
+
+def test_estimation_pooled_adaptation(setup):
+    """fit(pooled_adaptation=True): shared warmup across chains still
+    produces finite, truth-concentrating posteriors."""
+    ss, data, draw = setup
+    res = fit(ss, np.asarray(data), num_chains=4, num_warmup=150,
+              num_samples=150, seed=3, pooled_adaptation=True)
+    assert np.isfinite(res.logp).all()
+    # shared adaptation: one step size for all chains
+    assert np.unique(np.asarray(res.step_size)).size == 1
+    summ = res.summary()
+    truth = {k: float(v) for k, v in zip(ss.param_labels,
+                                         np.asarray(ss.constrain(
+                                             ss.unconstrain(draw))))}
+    for name in ss.param_labels:
+        mean = float(summ.loc[name, "mean"])
+        sd = float(summ.loc[name, "sd"])
+        assert abs(mean - truth[name]) < 6 * sd + 0.1, \
+            (name, mean, truth[name], sd)
