@@ -88,13 +88,21 @@ def _extract_ss_block(model_ast: A.GCNModel, converter: SympyConverter) -> Symbo
     for comp in ss_block.components:
         for eq in comp.equations:
             lhs = converter.convert(eq.lhs)
-            if not isinstance(lhs, TimeAwareSymbol) or lhs.time_index != "ss":
+            if isinstance(lhs, TimeAwareSymbol) and lhs.time_index == "ss":
+                raw[lhs] = converter.convert(eq.rhs)
+            elif isinstance(lhs, sp.Symbol) and not isinstance(lhs, TimeAwareSymbol):
+                # scalar temporary from a `definitions` component (reference:
+                # gEconpy/parser/loader.py:299-331 topo-flattens these away)
+                raw[lhs] = converter.convert(eq.rhs)
+            else:
                 raise GCNSemanticError(
                     "E107",
-                    f"STEADY_STATE entries must assign to var[ss]: {eq.lhs}")
-            raw[lhs] = converter.convert(eq.rhs)
+                    f"STEADY_STATE entries must assign to var[ss] or define a "
+                    f"scalar temporary: {eq.lhs}")
     flat = flatten_substitution_dict(raw)
-    return SymbolDictionary(flat)
+    return SymbolDictionary(
+        {k: v for k, v in flat.items()
+         if isinstance(k, TimeAwareSymbol) and k.time_index == "ss"})
 
 
 def system_to_steady_state(

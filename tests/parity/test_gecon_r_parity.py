@@ -1,0 +1,108 @@
+"""External accuracy anchors: P/Q/R/S policy blocks vs gEcon-R golden values.
+
+The golden numbers come from the R gEcon package (transcribed in the
+upstream reference at ``tests/_resources/expected_matrices.py``); they are
+loaded here as *data*.  Role parity with the reference's golden-matrix
+validation (``/root/reference/tests/model/test_model.py:414``).
+
+Conventions bridged below:
+- gEcon orders variables by natural sort and partitions into states (columns
+  of T with a nonzero entry) and jumpers.
+- gEcon log-linearizes every variable by its steady state, INCLUDING
+  negative ones (where the stored goldens carry a sign flip on negative-SS
+  rows, noted at expected_matrices.py:13-15); we solve in our convention
+  (negative-SS variables stay in levels) and rescale through level space:
+  x_gecon = |x_ss|^-1 * scale_ours * x_ours.
+"""
+
+import importlib.util
+from pathlib import Path
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+import geconpy_tpu
+from geconpy_tpu.models.perturbation import gecon_matrices
+
+GCN_DIR = Path(__file__).parent / "gcn"
+GOLDEN_PATH = Path(
+    "/root/reference/tests/_resources/expected_matrices.py")
+
+
+def _load_goldens():
+    spec = importlib.util.spec_from_file_location("ref_expected", GOLDEN_PATH)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.expected_linearization_result
+
+
+GOLDENS = _load_goldens()
+
+# Scope notes (investigated, 2026-08):
+# - rbc_2_block_ss: matches gEcon-R exactly (the anchor below).
+# - one_block_1_ss: the stored golden's param_dict lacks alpha and no alpha
+#   reproduces all entries (nearest, alpha~=0.0706, matches P[K,K] to 1e-8
+#   but leaves P[K,A] off by 4e-3) — the golden predates the current
+#   calibration.  The upstream suite itself never reads these P/Q/R/S
+#   entries (only A/B/C/D, in its own equation-order convention).
+# - full_nk: the golden's state partition (10 states, one all-zero P row)
+#   does not correspond to the shipped model; full_nk is anchored against
+#   real Dynare output at 1e-5 in test_dynare_parity.py instead.
+CASES = {
+    "rbc_2_block_ss.gcn": GCN_DIR / "rbc_2_block_ss.gcn",
+}
+
+
+def _natural_order(names):
+    import re
+
+    def key(s):
+        return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", s)]
+
+    return sorted(range(len(names)), key=lambda i: key(names[i]))
+
+
+def _solve_in_gecon_convention(gcn_path):
+    model = geconpy_tpu.model_from_gcn(gcn_path, verbose=False)
+    sol = model.solve_model(solver="cycle_reduction", loglin_variables=True,
+                            verbose=False)
+    names = list(sol.T.index)
+    # SteadyStateResults preserves model variable order (same as T's index)
+    ss_vals = np.array([float(v) for v in sol.steady_state.values()])
+    scale_ours = np.asarray(sol.loglin_scale)
+    scale_gecon = np.abs(ss_vals)
+
+    # through level space into gEcon's |ss| log scaling
+    conv = scale_ours / scale_gecon
+    T = np.diag(conv) @ sol.T.to_numpy() @ np.diag(1.0 / conv)
+    R = np.diag(conv) @ sol.R.to_numpy()
+
+    order = _natural_order(names)
+    T = T[np.ix_(order, order)]
+    R = R[order, :]
+    return T, R, [names[i] for i in order], ss_vals[order]
+
+
+@pytest.mark.parametrize("gcn_file", list(CASES), ids=lambda s: s.split(".")[0])
+def test_policy_blocks_match_gecon_r(gcn_file):
+    golden = GOLDENS[gcn_file]
+    T, R, names, ss_vals = _solve_in_gecon_convention(CASES[gcn_file])
+
+    P, Q, R_out, S, state_idx, jump_idx = gecon_matrices(T, R, names)
+
+    gP, gQ, gR, gS = (np.asarray(golden[k], dtype=float) for k in "PQRS")
+    assert P.shape == gP.shape, (
+        f"state partition differs: {P.shape} vs golden {gP.shape} "
+        f"(states: {[names[i] for i in state_idx]})")
+
+    # goldens are printed to ~7 significant digits
+    assert_allclose(P, gP, atol=2e-7, rtol=1e-6, err_msg="P vs gEcon-R")
+    assert_allclose(Q, gQ, atol=2e-7, rtol=1e-6, err_msg="Q vs gEcon-R")
+
+    # Negative-steady-state jumper rows (U, TC) carry the documented sign
+    # flip in the stored goldens; compare those rows up to sign.
+    flip = np.where(ss_vals[jump_idx] < 0, -1.0, 1.0)[:, None]
+    assert_allclose(R_out * flip, gR, atol=2e-6, rtol=1e-5,
+                    err_msg="R vs gEcon-R")
+    assert_allclose(S * flip, gS, atol=2e-6, rtol=1e-5, err_msg="S vs gEcon-R")
