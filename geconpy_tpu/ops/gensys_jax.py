@@ -19,7 +19,21 @@ rank-deficient eta loadings = indeterminacy, no solution) surface as eu
 flags, never exceptions — so the solver vmaps over MCMC draws.
 
 Validated against the scipy-ordqz oracle (:mod:`geconpy_tpu.ops.gensys_np`)
-at 1e-8 on every bundled model.
+at 1e-8 on every bundled forward-looking model — including the 33-variable
+SW-2007 flagship (tests/ops/test_gensys_jax.py) — and against real Dynare
+output at 1e-5 (tests/parity/test_dynare_parity.py).  Backward-looking
+models have no expectational block and use the direct solver.
+
+Stability divider: the host oracle ports Sims's adaptive ``div``
+(``ops/gensys_np.py``), which shrinks the divider below the smallest root
+larger than 1.  The device solver uses a fixed split radius (default 1.01)
+instead: the disk iteration needs its radius at trace time, and a draw with
+a root inside the ambiguous band [1, div) makes the detected split dimension
+disagree with the structural lead count, which flags ``success=False`` — the
+draw is *rejected*, never silently mis-solved.  For estimation workloads
+(vmapped draws, logp gating on flags) rejection is the correct behavior; an
+adaptive retry would double the batched cost for every draw to rescue a
+measure-zero band.
 """
 
 from __future__ import annotations

@@ -52,7 +52,15 @@ def _solve_both(model):
     return dev, T_np, R_np, eu
 
 
-@pytest.mark.parametrize("model_name", ["rbc", "nk_3eq", "nk_full"])
+# every bundled forward-looking model, including the flagship SW-2007
+# (33 vars) and nk_sw — backward-looking models (baxter_king) have no
+# expectational block and use the direct solver instead
+FORWARD_MODELS = ["rbc", "rbc_ces", "rbc_estimation", "rbc_no_ss",
+                  "rbc_two_agent", "open_rbc", "nk_3eq", "nk_full",
+                  "nk_sw", "sw2007"]
+
+
+@pytest.mark.parametrize("model_name", FORWARD_MODELS)
 def test_device_gensys_matches_oracle(model_name):
     model = model_from_gcn(get_example_gcn(model_name), verbose=False)
     dev, T_np, R_np, eu = _solve_both(model)
