@@ -46,17 +46,24 @@ def _measure(model_name: str, configure_kwargs: dict, batch_size: int = 4096,
         n_settle=ss.kalman_settle, policy="pallas", settle="pallas"))
     out = jax.block_until_ready(fn(batch))  # compile + sanity
     n_finite = int(jnp.sum(jnp.isfinite(out)))
-    assert n_finite > batch_size // 2, \
-        f"{model_name}: only {n_finite} finite logposts"
+    finite_frac = n_finite / batch_size
+    assert finite_frac >= 0.99, \
+        f"{model_name}: only {n_finite}/{batch_size} finite logposts"
 
-    # cross-check a handful of draws against the reference (gradient-capable)
-    # logpost path: same solve + filter through independent XLA kernels
+    # cross-check against the reference (gradient-capable) logpost path —
+    # same solve + filter through independent XLA kernels — per-draw, over
+    # >= 512 draws, at a relative tolerance defensible for a float32
+    # 200-period log-likelihood
+    n_check = min(512, batch_size)
     logpost = ss.build_logpost(np.asarray(data, dtype=np.float32))
-    ref = jax.jit(jax.vmap(logpost))(batch[:64])
-    both = np.isfinite(np.asarray(ref)) & np.isfinite(np.asarray(out[:64]))
-    assert both.mean() > 0.9, f"{model_name}: paths disagree on finiteness"
-    rel = np.max(np.abs((np.asarray(out[:64]) - np.asarray(ref))[both]))
-    assert rel < 1.0, f"{model_name}: batched path off by {rel}"
+    ref = np.asarray(jax.jit(jax.vmap(logpost))(batch[:n_check]))
+    got = np.asarray(out[:n_check])
+    both = np.isfinite(ref) & np.isfinite(got)
+    assert both.mean() >= 0.99, \
+        f"{model_name}: paths disagree on finiteness ({both.mean():.3f})"
+    rel = np.max(np.abs(got - ref)[both] / (1.0 + np.abs(ref[both])))
+    assert rel < 5e-4, \
+        f"{model_name}: batched path off by rel {rel:.2e} on {both.sum()} draws"
 
     start = time.perf_counter()
     for _ in range(n_reps):

@@ -8,6 +8,7 @@ from .core import (
     InverseGamma,
     LogNormal,
     Normal,
+    PartialCorrelation,
     StudentT,
     Truncated,
     TruncatedNormal,
@@ -19,7 +20,8 @@ from .from_ast import CompositeDistribution, ast_to_distribution, resolve_priors
 
 __all__ = [
     "Beta", "DIST_REGISTRY", "Distribution", "Exponential", "Gamma",
-    "HalfNormal", "InverseGamma", "LogNormal", "Normal", "StudentT",
+    "HalfNormal", "InverseGamma", "LogNormal", "Normal",
+    "PartialCorrelation", "StudentT",
     "Truncated", "TruncatedNormal", "Uniform", "get_distribution_class",
     "maxent", "CompositeDistribution", "ast_to_distribution", "resolve_priors",
 ]

@@ -21,6 +21,7 @@ from jax.scipy.special import gammaln, ndtr, ndtri
 __all__ = [
     "Distribution", "Normal", "HalfNormal", "TruncatedNormal", "Beta",
     "Gamma", "InverseGamma", "Uniform", "LogNormal", "Exponential",
+    "PartialCorrelation",
     "StudentT", "Truncated", "maxent", "DIST_REGISTRY", "get_distribution_class",
 ]
 
@@ -206,6 +207,55 @@ class Beta(Distribution):
     def variance(self):
         a, b = self.alpha, self.beta
         return a * b / ((a + b) ** 2 * (a + b + 1))
+
+
+@dataclasses.dataclass(frozen=True)
+class PartialCorrelation(Distribution):
+    """Scaled Beta on (-1, 1): x = 2 B - 1 with B ~ Beta(alpha, alpha).
+
+    The canonical-partial-correlation marginal of the LKJ(eta) correlation
+    prior (Lewandowski-Kurowicka-Joe vine construction): an order-k partial
+    correlation of a d-dimensional LKJ(eta) matrix is 2 Beta(a, a) - 1 with
+    a = eta + (d - 1 - k) / 2.  Used by
+    ``DSGEStateSpace.configure(full_shock_covariance=True)`` to put an LKJ
+    prior on the shock correlation Cholesky factor (reference role: the full
+    PSD state_cov of ``gEconpy/model/statespace.py:240``).
+    """
+
+    alpha: float = 1.0
+    lower: ClassVar[float] = -1.0
+    upper: ClassVar[float] = 1.0
+    name: ClassVar[str] = "PartialCorrelation"
+
+    @classmethod
+    def lkj_marginal(cls, eta: float, dim: int, order: int
+                     ) -> "PartialCorrelation":
+        return cls(alpha=eta + (dim - 1 - order) / 2.0)
+
+    def logpdf(self, x):
+        a = self.alpha
+        norm = gammaln(2 * a) - 2 * gammaln(a)
+        inside = (x > -1) & (x < 1)
+        b = jnp.clip((x + 1) / 2, 1e-12, 1 - 1e-12)
+        # density of x: Beta(a, a) pdf at (x+1)/2, times d b / d x = 1/2
+        return jnp.where(
+            inside,
+            norm + (a - 1) * (jnp.log(b) + jnp.log1p(-b)) - jnp.log(2.0),
+            -jnp.inf)
+
+    def sample(self, key, shape=()):
+        return 2.0 * jax.random.beta(key, self.alpha, self.alpha, shape) - 1.0
+
+    def ppf(self, q):
+        from scipy.stats import beta as sp_beta
+
+        return 2.0 * sp_beta.ppf(q, self.alpha, self.alpha) - 1.0
+
+    def mean(self):
+        return 0.0
+
+    def variance(self):
+        return 1.0 / (2.0 * self.alpha + 1.0)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -262,6 +262,20 @@ def load_gcn(
         priors.update(block.priors)
         shock_priors.update(block.shock_priors)
 
+    # validate prior declarations eagerly: an unknown distribution name
+    # (E012) or malformed argument (E013) should fail at build with a
+    # did-you-mean, not at estimation setup (reference role:
+    # parser/grammar/statements.py:362-398)
+    from ..dists.from_ast import ast_to_distribution
+
+    _prior_collector = ErrorCollector()
+    for _ast in list(priors.values()) + list(shock_priors.values()):
+        try:
+            ast_to_distribution(_ast)
+        except GCNSemanticError as e:
+            _prior_collector.add(e)
+    _prior_collector.raise_if_errors()
+
     # deterministic parameter relations may chain; flatten them
     deterministic_dict = SymbolDictionary(flatten_substitution_dict(param_equations))
 

@@ -116,23 +116,36 @@ def solve_adjoint_sylvester(M, C, T, G, iters: int = 30):
     operators doubles the number of summed terms per iteration, so ``iters``
     iterations capture 2^iters terms — machine-exact even near unit roots.
 
+    The loop exits early once the correction underflows relative to W
+    (typically 6-10 doublings away from unit roots); ``iters`` is the hard
+    cap.  This runs only inside backward passes, so the non-reverse-
+    differentiable ``while_loop`` is fine.
+
     O(n³) per iteration and O(n²) memory, replacing the kron-vectorized
     solve (O(n⁴) memory, O(n⁶) flops) from the reference's adjoint
     (``gEconpy/solvers/shared.py:12`` o1_policy_function_adjoints).
     """
+    import numpy as np
+
     Mt_fac = jax.scipy.linalg.lu_factor(M.T)
     S = -jax.scipy.linalg.lu_solve(Mt_fac, C.T)
-    W = jax.scipy.linalg.lu_solve(Mt_fac, G)
+    W0 = jax.scipy.linalg.lu_solve(Mt_fac, G)
+    eps = float(np.finfo(np.dtype(W0.dtype)).eps)
 
-    def body(carry, _):
-        W, S_k, T_k = carry
-        W = W + S_k @ W @ T_k
-        # stop squaring once the factors have underflown to exact zero
-        S_next = S_k @ S_k
-        T_next = T_k @ T_k
-        return (W, S_next, T_next), None
+    def cond(carry):
+        _, _, _, it, done = carry
+        return (~done) & (it < iters)
 
-    (W, _, _), _ = jax.lax.scan(body, (W, S, T.T), None, length=iters)
+    def body(carry):
+        W, S_k, T_k, it, _ = carry
+        delta = S_k @ W @ T_k
+        W_new = W + delta
+        small = jnp.max(jnp.abs(delta)) <= eps * jnp.max(jnp.abs(W_new))
+        done = small | ~jnp.isfinite(jnp.max(jnp.abs(delta)))
+        return (W_new, S_k @ S_k, T_k @ T_k, it + 1, done)
+
+    W, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (W0, S, T.T, jnp.asarray(0), jnp.asarray(False)))
     return W
 
 

@@ -238,6 +238,23 @@ def pallas_cycle_reduction(A, B, C, order: np.ndarray | None = None,
     if order is not None:
         idx = jnp.asarray(order)
         A, B, C = A[:, idx], B[:, idx], C[:, idx]
+    n_orig = n
+    if n < 8:
+        # Mosaic mis-lowers sub-sublane dims: embed into an identity-padded
+        # decoupled system (T pad block is exactly zero, pivots are 1)
+        ext = 8 - n
+
+        def embed(M, diag):
+            out = jnp.zeros(M.shape[:1] + (8, 8), dtype)
+            out = out.at[:, :n, :n].set(M)
+            if diag:
+                out = out.at[:, n:, n:].set(jnp.eye(ext, dtype=dtype))
+            return out
+
+        A = embed(A, False)
+        B = embed(B, True)
+        C = embed(C, False)
+        n = 8
     pad = (-Bn) % tile
     Bp = Bn + pad
 
@@ -281,7 +298,7 @@ def pallas_cycle_reduction(A, B, C, order: np.ndarray | None = None,
         interpret=interpret,
     )(A_l, B_l, C_l)
 
-    T = jnp.transpose(T_l, (2, 0, 1))[:Bn]
+    T = jnp.transpose(T_l, (2, 0, 1))[:Bn, :n_orig, :n_orig]
     minpiv = flags[0, :Bn]
     tail = flags[1, :Bn]
     success = jnp.isfinite(tail) & (tail < tol) & (minpiv > min_pivot) \

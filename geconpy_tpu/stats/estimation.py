@@ -22,7 +22,37 @@ from .statespace import DSGEStateSpace
 
 _log = logging.getLogger(__name__)
 
-__all__ = ["fit", "PosteriorResult"]
+__all__ = ["fit", "PosteriorResult", "make_batched_logp_grad"]
+
+
+def make_batched_logp_grad(ss_mod: DSGEStateSpace, data: np.ndarray,
+                           **kwargs):
+    """Per-chain ``q -> (logpost, grad)`` whose *vmapped* form runs one
+    lane-batched Pallas forward + one analytic-adjoint backward over ALL
+    chains at once.
+
+    Under ``jax.vmap`` (how NUTS runs its chains) the
+    ``jax.custom_batching.custom_vmap`` rule replaces the per-chain
+    value_and_grad with :meth:`DSGEStateSpace.build_batched_logpost_and_grad`
+    over the whole chain block; called unbatched it degrades to a batch of
+    one (still correct, padding one kernel tile)."""
+    batched_vag = ss_mod.build_batched_logpost_and_grad(data, **kwargs)
+
+    @jax.custom_batching.custom_vmap
+    def logp_grad(q):
+        vals, grads = batched_vag(q[None, :])
+        return vals[0], grads[0]
+
+    @logp_grad.def_vmap
+    def _batched_rule(axis_size, in_batched, qs):
+        del axis_size
+        if not in_batched[0]:
+            vals, grads = batched_vag(qs[None, :])
+            return (vals[0], grads[0]), (False, False)
+        vals, grads = batched_vag(qs)
+        return (vals, grads), (True, True)
+
+    return logp_grad
 
 
 @dataclass
@@ -66,14 +96,28 @@ def fit(
     target_accept: float = 0.8,
     init_jitter: float = 0.5,
     pooled_adaptation: bool = False,
+    policy: str = "xla",
 ) -> PosteriorResult:
     """Sample the posterior with vmapped device-side NUTS chains.
 
     ``pooled_adaptation=True`` shares the step size and mass matrix across
     chains during warmup (cross-chain Welford pooling) — with many chains
     each warmup window carries num_chains x the information, so shorter
-    warmups suffice."""
+    warmups suffice.
+
+    ``policy="pallas"`` runs every chain's value+grad on the lane-batched
+    Pallas cycle-reduction kernel (the sweep/benchmark hot path): the
+    chains' logpost evaluations, which run in lockstep under vmap, are
+    routed through one batched forward + one analytic-adjoint backward per
+    NUTS step via ``jax.custom_batching.custom_vmap``.  Most effective with
+    many chains (>= one 128-lane kernel tile)."""
     logpost = ss_mod.build_logpost(data)
+
+    logp_grad_fn = None
+    if policy == "pallas":
+        logp_grad_fn = make_batched_logp_grad(ss_mod, data)
+    elif policy != "xla":
+        raise ValueError(f"policy must be 'xla' or 'pallas', got {policy!r}")
 
     key = jax.random.PRNGKey(seed)
     k_init, k_sample = jax.random.split(key)
@@ -88,7 +132,8 @@ def fit(
     res: NUTSResult = sample_nuts(
         logpost, inits, k_sample, num_warmup=num_warmup,
         num_samples=num_samples, max_depth=max_depth,
-        target_accept=target_accept, pooled=pooled_adaptation)
+        target_accept=target_accept, pooled=pooled_adaptation,
+        logp_grad_fn=logp_grad_fn)
 
     constrain_all = jax.jit(jax.vmap(jax.vmap(ss_mod.constrain)))
     constrained = np.asarray(constrain_all(res.samples))

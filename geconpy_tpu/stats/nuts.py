@@ -86,7 +86,8 @@ def _select(pred, a, b):
 
 
 def nuts_kernel(logp_fn: Callable, q, logp, grad, key, step_size, inv_mass,
-                max_depth: int = 8, axis_name: str | None = None):
+                max_depth: int = 8, axis_name: str | None = None,
+                logp_grad_fn: Callable | None = None):
     """One NUTS transition.  Returns (q', logp', grad', info dict).
 
     ``axis_name``: when running inside ``shard_map`` with pooled
@@ -109,7 +110,10 @@ def nuts_kernel(logp_fn: Callable, q, logp, grad, key, step_size, inv_mass,
     step_size, inv_mass = _pv(step_size), _pv(inv_mass)
 
     def logp_and_grad(qq):
-        val, g = jax.value_and_grad(logp_fn)(qq)
+        if logp_grad_fn is not None:
+            val, g = logp_grad_fn(qq)
+        else:
+            val, g = jax.value_and_grad(logp_fn)(qq)
         # a non-finite gradient at a -inf point must not poison arithmetic
         g = jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g))
         return val, g
@@ -398,6 +402,7 @@ def sample_nuts(
     target_accept: float = 0.8,
     pooled: bool = False,
     axis_name: str | None = None,
+    logp_grad_fn: Callable | None = None,
 ) -> NUTSResult:
     """Run vmapped NUTS chains.
 
@@ -422,7 +427,10 @@ def sample_nuts(
     window_end = jnp.asarray(window_end_np)
 
     def logp_grad(q):
-        val, g = jax.value_and_grad(logp_fn)(q)
+        if logp_grad_fn is not None:
+            val, g = logp_grad_fn(q)
+        else:
+            val, g = jax.value_and_grad(logp_fn)(q)
         g = jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g))
         return val, g
 
@@ -430,7 +438,7 @@ def sample_nuts(
         return _sample_nuts_pooled(
             logp_fn, logp_grad, initial_position, key, num_warmup,
             num_samples, max_depth, initial_step_size, target_accept,
-            in_slow, window_end, axis_name)
+            in_slow, window_end, axis_name, logp_grad_fn)
 
     def warmup_step(carry, inputs):
         step_idx, key = inputs
@@ -438,7 +446,8 @@ def sample_nuts(
         key, k_kernel = jax.random.split(key)
         eps = jnp.exp(adapt.log_eps)
         q, logp, grad, info = nuts_kernel(
-            logp_fn, q, logp, grad, k_kernel, eps, adapt.inv_mass, max_depth)
+            logp_fn, q, logp, grad, k_kernel, eps, adapt.inv_mass, max_depth,
+            logp_grad_fn=logp_grad_fn)
         adapt = _dual_averaging_update(adapt, info["accept_prob"],
                                        target=target_accept)
         adapt = jax.lax.cond(in_slow[step_idx],
@@ -457,7 +466,8 @@ def sample_nuts(
     def sample_step(carry, key):
         q, logp, grad, eps, inv_mass = carry
         q, logp, grad, info = nuts_kernel(
-            logp_fn, q, logp, grad, key, eps, inv_mass, max_depth)
+            logp_fn, q, logp, grad, key, eps, inv_mass, max_depth,
+            logp_grad_fn=logp_grad_fn)
         out = (q, logp, info["accept_prob"], info["diverging"],
                info["n_leapfrog"])
         return (q, logp, grad, eps, inv_mass), out
@@ -486,7 +496,7 @@ def sample_nuts(
 def _sample_nuts_pooled(logp_fn, logp_grad, initial_position, key,
                         num_warmup, num_samples, max_depth,
                         initial_step_size, target_accept, in_slow,
-                        window_end, axis_name):
+                        window_end, axis_name, logp_grad_fn=None):
     """Cross-chain pooled warmup: shared step size + shared mass matrix.
 
     The step loop is the outer scan and chains run vmapped inside it, so
@@ -498,7 +508,8 @@ def _sample_nuts_pooled(logp_fn, logp_grad, initial_position, key,
     def kernel_all(qs, logps, grads, keys, eps, inv_mass):
         return jax.vmap(lambda q, l, g, k: nuts_kernel(
             logp_fn, q, l, g, k, eps, inv_mass, max_depth,
-            axis_name=axis_name))(qs, logps, grads, keys)
+            axis_name=axis_name, logp_grad_fn=logp_grad_fn))(
+            qs, logps, grads, keys)
 
     def warmup_step(carry, inputs):
         step_idx, key = inputs

@@ -87,6 +87,8 @@ class DSGEStateSpace:
         observation_equations: dict[str, str] | None = None,
         aggregate: dict[str, tuple[str, str, int]] | None = None,
         ss_obs_intercept: bool = False,
+        full_shock_covariance: bool = False,
+        lkj_eta: float = 1.0,
     ) -> "DSGEStateSpace":
         """Choose observables, measurement error, and estimated parameters.
 
@@ -108,6 +110,15 @@ class DSGEStateSpace:
           prepare_mixed_frequency_data to NaN-pad the data).
         - ``ss_obs_intercept``: include the steady-state observation
           intercept d (otherwise the data must be demeaned deviations).
+        - ``full_shock_covariance``: estimate a full (correlated) shock
+          covariance Q = S L Lᵀ S instead of diagonal — S = diag of the
+          per-shock stds (GCN priors / shock_std as before), L the
+          correlation Cholesky factor built from canonical partial
+          correlations with an LKJ(``lkj_eta``) prior.  Role parity with the
+          reference's full PSD state_cov
+          (``gEconpy/model/statespace.py:240,827``), TPU-first
+          parameterization (unconstrained scalars, exact log-jacobians, no
+          PSD projection needed).
         """
         model = self.model
         mf = model.functions
@@ -196,6 +207,23 @@ class DSGEStateSpace:
                         f"sigma_obs_{name}", spec, "measurement_error")))
         self._me_estimated = me_estimated
         self.estimated.extend(p for _, p in me_estimated)
+
+        # ---- full shock covariance: partial-correlation parameters with
+        # the LKJ(eta) vine marginals, one per lower-triangular (i, j)
+        self.full_shock_covariance = bool(full_shock_covariance)
+        corr_params: list[EstimatedParameter] = []
+        if full_shock_covariance:
+            from ..dists import PartialCorrelation
+
+            m = mf.n_shocks
+            for i in range(1, m):
+                for j in range(i):
+                    prior = PartialCorrelation.lkj_marginal(lkj_eta, m, j)
+                    corr_params.append(EstimatedParameter(
+                        f"corr_{shock_names[i]}_{shock_names[j]}", prior,
+                        "shock_corr", 0.0))
+        self._n_corr = len(corr_params)
+        self.estimated.extend(corr_params)
 
         # ---- stochastic singularity check
         n_me = len(self._me_fixed) + len(me_estimated)
@@ -437,6 +465,8 @@ class DSGEStateSpace:
         sigma_source = self._sigma_source
         me_fixed = self._me_fixed
         me_estimated = self._me_estimated
+        n_corr = getattr(self, "_n_corr", 0)
+        n_shocks = self.model.functions.n_shocks
         priors = [p.prior for p in self.estimated]
         cr_tol, cr_maxiter = self._cr_tol, self._cr_maxiter
         use_backward = self.solver == "backward"
@@ -508,7 +538,27 @@ class DSGEStateSpace:
                     sigmas.append(pre["theta_full"][val])
                 else:
                     sigmas.append(jnp.asarray(val, dtype))
-            Q = jnp.diag(jnp.stack(sigmas) ** 2)
+            sig = jnp.stack(sigmas)
+            if n_corr:
+                # full Q = S L Lᵀ S: vine construction of the correlation
+                # Cholesky L from the canonical partial correlations (the
+                # trailing n_corr entries of x)
+                z_flat = x[x.shape[0] - n_corr:]
+                L = jnp.zeros((n_shocks, n_shocks), dtype)
+                L = L.at[0, 0].set(jnp.asarray(1.0, dtype))
+                slot = 0
+                for i in range(1, n_shocks):
+                    w = jnp.asarray(1.0, dtype)
+                    for j in range(i):
+                        z = z_flat[slot]
+                        slot += 1
+                        L = L.at[i, j].set(z * w)
+                        w = w * jnp.sqrt(jnp.maximum(1.0 - z * z, 1e-12))
+                    L = L.at[i, i].set(w)
+                Lq = sig[:, None] * L
+                Q = Lq @ Lq.T
+            else:
+                Q = jnp.diag(sig**2)
 
             # measurement error covariance
             h_diag = jnp.zeros((k,), dtype)
@@ -554,13 +604,13 @@ class DSGEStateSpace:
 
         return pre_policy, policy, post_policy
 
-    def build_logpost_extras(self, data: np.ndarray
-                             ) -> Callable[[jnp.ndarray], LogPostExtras]:
+    def _data_and_loglik(self, data: np.ndarray):
+        """Validate the dataset and pick the (differentiable, XLA) Kalman
+        log-likelihood implementation for the configured filter_type."""
         y = jnp.asarray(data)
         if y.ndim != 2 or y.shape[1] != len(self.observed_states):
             raise ValueError(
                 f"data must be (periods, {len(self.observed_states)}), got {y.shape}")
-        solve_draw = self.build_solution_fn()
         filter_type = getattr(self, "filter_type", "sequential")
         if filter_type in ("steady_state", "chandrasekhar") \
                 and bool(np.isnan(data).any()):
@@ -583,6 +633,12 @@ class DSGEStateSpace:
         else:
             def _loglik(*args, **kw):
                 return kalman_filter(*args, **kw).loglik
+        return y, _loglik
+
+    def build_logpost_extras(self, data: np.ndarray
+                             ) -> Callable[[jnp.ndarray], LogPostExtras]:
+        y, _loglik = self._data_and_loglik(data)
+        solve_draw = self.build_solution_fn()
 
         @highest_precision
         def extras(u: jnp.ndarray) -> LogPostExtras:
@@ -713,6 +769,64 @@ class DSGEStateSpace:
 
         return batched
 
+    def build_batched_logpost(self, data: np.ndarray,
+                              cr_tile: int = 128, cr_iters: int = 18,
+                              interpret: bool = False):
+        """DIFFERENTIABLE batched log-posterior ``f(U) -> (B,)``.
+
+        The forward pass runs the lane-batched Pallas cycle-reduction kernel
+        (the sweep/benchmark hot path); the backward pass is the analytic
+        implicit-function adjoint (Smith-doubling Sylvester solve), so
+        ``jax.grad``/``jax.vjp`` work and NUTS chains can run their
+        value+grad hot loop on the same kernels as the prior sweeps.
+
+        The Kalman likelihood uses the configured XLA filter (differentiated
+        by autodiff), identical math to :meth:`build_logpost`; the two paths
+        agree in both value and gradient (see tests/stats/test_pallas_grad.py).
+        """
+        if self.solver != "cycle_reduction":
+            raise ValueError("build_batched_logpost requires "
+                             "solver='cycle_reduction'")
+        y, _loglik = self._data_and_loglik(data)
+        pre_policy, _, post_policy = self._solution_pieces()
+        solve_batch = self._build_pallas_policy_batch_diff(
+            cr_tile, cr_iters, interpret)
+
+        @highest_precision
+        def per_draw_ll(sol):
+            dtype = sol["T_aug"].dtype
+            loglik = _loglik(y.astype(dtype), sol["T_aug"], sol["R_aug"],
+                             sol["Q"], sol["Z"], sol["H"], d=sol["d"])
+            logprior = sol["logprior"]
+            ok = sol["ss_success"] & sol["solver_success"] & sol["stable"] \
+                & jnp.isfinite(loglik) & jnp.isfinite(logprior)
+            return jnp.where(ok, loglik + logprior,
+                             jnp.asarray(-jnp.inf, dtype))
+
+        def batched(U):
+            pre = jax.vmap(pre_policy)(U)
+            T, R, ok = solve_batch(pre)
+            sol = jax.vmap(post_policy)(pre, T, R, ok)
+            return jax.vmap(per_draw_ll)(sol)
+
+        return batched
+
+    def build_batched_logpost_and_grad(self, data: np.ndarray, **kwargs):
+        """``f(U) -> (logpost (B,), grad (B, dim))`` — one Pallas forward +
+        one analytic-adjoint backward over the whole batch.  Non-finite
+        gradients (rejected draws) are zeroed, matching the NUTS kernel's
+        convention."""
+        f = self.build_batched_logpost(data, **kwargs)
+
+        def value_and_grad(U):
+            vals, vjp = jax.vjp(f, U)
+            (grads,) = vjp(jnp.ones_like(vals))
+            grads = jnp.where(jnp.isfinite(grads), grads,
+                              jnp.zeros_like(grads))
+            return vals, grads
+
+        return value_and_grad
+
     def _static_pivot_order(self) -> np.ndarray:
         """Host-side static GJ row ordering from the calibration pencil."""
         if getattr(self, "_pivot_order", None) is None:
@@ -729,6 +843,51 @@ class DSGEStateSpace:
                 B2 = np.asarray(pre["B"], np.float64)
             self._pivot_order = static_pivot_order(B2)
         return self._pivot_order
+
+    def _build_pallas_policy_batch_diff(self, cr_tile: int, cr_iters: int,
+                                        interpret: bool):
+        """Differentiable batched policy solve: the lane-batched Pallas
+        cycle-reduction kernel computes the primal solvent T; gradients
+        re-attach at the full-system level through the analytic implicit
+        adjoint (``ops.static_reduction.finalize_reduced_policy`` — the same
+        ``custom_vjp`` the XLA path uses), and the shock-selection matrix R
+        comes from the differentiable XLA solve.  This is what lets NUTS run
+        its value+grad hot loop on the sweep kernels.
+
+        Reference role: the policy adjoint that makes estimation fast
+        (``gEconpy/solvers/shared.py:12``).
+        """
+        from ..ops.pallas_cycle_reduction import pallas_cycle_reduction
+        from ..ops.static_reduction import (finalize_reduced_policy,
+                                            policy_from_reduced,
+                                            reduce_pencil)
+
+        plan = self.model.static_reduction
+        order = self._static_pivot_order()
+        n = self.model.functions.n_variables
+        has_statics = len(plan.static_idx) > 0
+
+        def solve_batch(pre):
+            A, B, C, D = pre["A"], pre["B"], pre["C"], pre["D"]
+            As, Bs, Cs = (jax.lax.stop_gradient(m) for m in (A, B, C))
+            if has_statics:
+                red = jax.vmap(
+                    lambda a, b, c: reduce_pencil(a, b, c, plan))(As, Bs, Cs)
+                T_d, cr_ok = pallas_cycle_reduction(
+                    red.A2, red.B2, red.C2, order=order, n_iter=cr_iters,
+                    tile=cr_tile, interpret=interpret)
+                T_primal = jax.vmap(
+                    lambda t, r: policy_from_reduced(t, r, plan, n))(T_d, red)
+            else:
+                T_d, cr_ok = pallas_cycle_reduction(
+                    As, Bs, Cs, order=order, n_iter=cr_iters, tile=cr_tile,
+                    interpret=interpret)
+                T_primal = T_d
+            T, R, success, _resid = jax.vmap(finalize_reduced_policy)(
+                A, B, C, D, T_primal, T_d, cr_ok)
+            return T, R, success
+
+        return solve_batch
 
     def _build_pallas_policy_batch(self, cr_tile: int, cr_iters: int,
                                    interpret: bool):
@@ -851,8 +1010,13 @@ class DSGEStateSpace:
         sigmas = []
         for kind, val in self._sigma_source:
             sigmas.append(float(sol.theta_full[val]) if kind == "param" else val)
-        eps = np.asarray(jax.random.normal(k_sim, (periods, mf.n_shocks))) \
-            * np.asarray(sigmas)
+        eps_std = np.asarray(jax.random.normal(k_sim, (periods, mf.n_shocks)))
+        if getattr(self, "_n_corr", 0):
+            z = [draw[p.name] for p in self.estimated if p.kind == "shock_corr"]
+            L = _vine_cholesky_np(z, mf.n_shocks)
+            eps = eps_std @ (np.asarray(sigmas)[:, None] * L).T
+        else:
+            eps = eps_std * np.asarray(sigmas)
         from ..analysis.simulate import simulate_linear
 
         T_aug, R_aug = self._augment_lags(cr.T, R, self._obs_max_lag)
@@ -869,6 +1033,23 @@ class DSGEStateSpace:
                 jax.random.normal(jax.random.fold_in(k_obs_noise, slot),
                                   (periods,)))
         return data, draw
+
+def _vine_cholesky_np(z_flat, m: int) -> np.ndarray:
+    """Correlation Cholesky factor from canonical partial correlations
+    (host-side twin of the traced construction in post_policy)."""
+    L = np.zeros((m, m))
+    L[0, 0] = 1.0
+    slot = 0
+    for i in range(1, m):
+        w = 1.0
+        for j in range(i):
+            z = float(z_flat[slot])
+            slot += 1
+            L[i, j] = z * w
+            w *= np.sqrt(max(1.0 - z * z, 1e-12))
+        L[i, i] = w
+    return L
+
 
 def aggregated_obs_equation(var: str, method: str, period: int) -> str:
     """GCN expression for a temporally aggregated observable.

@@ -66,6 +66,39 @@ class SymbolDictionary(dict):
             out._assumptions.update(other._assumptions)
         return out
 
+    # -- mixed-representation lookup -----------------------------------------
+    def __getitem__(self, key):
+        try:
+            return super().__getitem__(key)
+        except KeyError:
+            alt = self._alternate_key(key)
+            if alt is not None:
+                return super().__getitem__(alt)
+            raise
+
+    def __contains__(self, key):
+        if super().__contains__(key):
+            return True
+        alt = self._alternate_key(key)
+        return alt is not None and super().__contains__(alt)
+
+    def get(self, key, default=None):
+        try:
+            return self[key]
+        except KeyError:
+            return default
+
+    def _alternate_key(self, key):
+        """The same key in the other representation, if present."""
+        if isinstance(key, sp.Symbol):
+            name = key.name
+            return name if super().__contains__(name) else None
+        if isinstance(key, str):
+            for k in self:
+                if isinstance(k, sp.Symbol) and k.name == key:
+                    return k
+        return None
+
     # -- key-space conversions ----------------------------------------------
     def is_sympy(self) -> bool:
         return all(isinstance(k, sp.Symbol) for k in self)
