@@ -286,7 +286,15 @@ class Model:
         verbose: bool = True,
         **updates,
     ) -> PolicySolution:
-        """Steady state -> linearize -> first-order policy  T, R."""
+        """Steady state -> linearize -> first-order policy  T, R.
+
+        ``solver=None`` auto-selects: backward direct for purely
+        backward-looking models, otherwise cycle reduction with a gensys
+        fallback (cycle reduction requires a nonsingular reduced B pencil;
+        some well-posed models — e.g. TANK-style aggregation identities —
+        only solve via the generalized-Schur split).
+        """
+        auto = solver is None
         if solver is None:
             solver = "backward" if self.is_backward_looking else "cycle_reduction"
         if solver not in VALID_SOLVERS:
@@ -332,6 +340,18 @@ class Model:
                 lambda a, b, c, d: solve_policy_reduced(
                     a, b, c, d, plan, tol=tol, maxiter=maxiter))(A, B, C, D)
             success = bool(ok)
+            if auto and not success:
+                # cycle reduction needs a nonsingular reduced B; fall back
+                # to the generalized-Schur (disk-split) solver
+                res = jax.jit(self.gensys_solver)(A, B, C, D)
+                if bool(res.success):
+                    solver = "gensys"
+                    T, R = res.T, res.R
+                    eu = (1, 1)
+                    success = True
+                    if verbose:
+                        _log.info("cycle reduction failed; gensys fallback "
+                                  "succeeded")
 
         det_norm = float(jnp.max(jnp.abs(A + B @ T + C @ T @ T)))
         stoch_norm = float(jnp.max(jnp.abs((B + C @ T) @ R + D)))

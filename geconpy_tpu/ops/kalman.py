@@ -140,6 +140,143 @@ def kalman_loglik(y, T, R, Q, Z, H, d=None, x0=None, P0=None):
     return jnp.where(jnp.isfinite(ll), ll, -jnp.inf)
 
 
+def _dare_step(P, T, RQR, Z, H):
+    """One predictive-form Riccati step:
+    P⁺ = T P Tᵀ − T P Zᵀ S⁻¹ Z P Tᵀ + RQRᵀ with S = Z P Zᵀ + H."""
+    PZt = P @ Z.T
+    S = Z @ PZt + H
+    chol_S = jnp.linalg.cholesky(S)
+    K = jax.scipy.linalg.cho_solve((chol_S, True), PZt.T).T   # P Zᵀ S⁻¹
+    P_upd = P - K @ PZt.T
+    P_next = T @ P_upd @ T.T + RQR
+    return 0.5 * (P_next + P_next.T)
+
+
+@highest_precision
+def _stein_adjoint(A_cl, G, iters: int = 30):
+    """W = Σ_k (A_clᵀ)^k G (A_cl)^k by Smith doubling with early exit —
+    the adjoint of the DARE's Fréchet derivative dP⁺ = A_cl dP A_clᵀ."""
+    import numpy as np
+
+    eps = float(np.finfo(np.dtype(G.dtype)).eps)
+
+    def cond(carry):
+        _, _, it, done = carry
+        return (~done) & (it < iters)
+
+    def body(carry):
+        W, A_k, it, _ = carry
+        delta = A_k.T @ W @ A_k
+        W_new = W + delta
+        small = jnp.max(jnp.abs(delta)) <= eps * jnp.max(jnp.abs(W_new))
+        done = small | ~jnp.isfinite(jnp.max(jnp.abs(delta)))
+        return (W_new, A_k @ A_k, it + 1, done)
+
+    W, _, _, _ = jax.lax.while_loop(
+        cond, body, (G, A_cl, jnp.asarray(0), jnp.asarray(False)))
+    return W
+
+
+@jax.custom_vjp
+def _implicit_dare_P(T, RQR, Z, H, P_primal):
+    """Identity on the converged DARE solution whose VJP is the implicit
+    fixed-point adjoint: the primal Riccati iterations are gradient-free
+    (stop_gradient), so the backward pass costs one Stein doubling solve +
+    one vjp of a single Riccati step instead of unrolling n_settle steps —
+    the same trick the policy solve uses (``ops/static_reduction.py``)."""
+    return P_primal
+
+
+def _idare_fwd(T, RQR, Z, H, P):
+    return P, (T, RQR, Z, H, P)
+
+
+@highest_precision
+def _idare_bwd(res, P_bar):
+    T, RQR, Z, H, P = res
+    PZt = P @ Z.T
+    S = Z @ PZt + H
+    Kp = T @ jnp.linalg.solve(S, PZt.T).T  # predictive gain T P Zᵀ S⁻¹
+    A_cl = T - Kp @ Z
+    # w = (I − f_Pᵀ)⁻¹ P_bar with f_P(dP) = A_cl dP A_clᵀ
+    w = _stein_adjoint(A_cl, 0.5 * (P_bar + P_bar.T))
+    # θ cotangents: vjp of one Riccati step at the fixed point, P held fixed
+    _, vjp = jax.vjp(lambda t, rqr, z, h: _dare_step(P, t, rqr, z, h),
+                     T, RQR, Z, H)
+    T_bar, RQR_bar, Z_bar, H_bar = vjp(w)
+    return (T_bar, RQR_bar, Z_bar, H_bar, jnp.zeros_like(P))
+
+
+_implicit_dare_P.defvjp(_idare_fwd, _idare_bwd)
+
+
+@highest_precision
+def stationary_kalman_loglik(y, T, R, Q, Z, H, d=None, x0=None,
+                             n_settle: int = 32):
+    """Stationary (constant-gain from t=0) Kalman log-likelihood.
+
+    The predictive covariance is pinned at the DARE fixed point P∞, so the
+    WHOLE filter is a linear constant-coefficient recursion — equivalent to
+    the exact filter initialized at P0 = P∞ (the filter stays at the fixed
+    point), and the standard "stationary Kalman filter" of the state-space
+    literature.  TPU-first gradient structure:
+
+    - the Riccati settle runs gradient-free (``stop_gradient``);
+    - gradients re-attach at the fixed point through the implicit adjoint
+      (one Stein doubling solve + one step-vjp), so backward cost does not
+      scale with ``n_settle``;
+    - the constant-gain scan is linear, so its autodiff transpose is one
+      cheap backward matvec scan.
+
+    Requires fully observed data (no NaN).  Role: the value+grad estimation
+    hot path (NUTS); the reference's counterpart is the pytensor scan filter
+    whose gradient unrolls every step.
+    """
+    y = jnp.asarray(y)
+    T = jnp.asarray(T)
+    R = jnp.asarray(R)
+    dtype = T.dtype
+    Q = jnp.asarray(Q, dtype)
+    Z = jnp.asarray(Z, dtype)
+    H = jnp.asarray(H, dtype)
+    n = T.shape[0]
+    k = Z.shape[0]
+    if d is None:
+        d = jnp.zeros((k,), dtype)
+    if x0 is None:
+        x0 = jnp.zeros((n,), dtype)
+    RQR = R @ Q @ R.T
+
+    # primal-only Riccati to the fixed point
+    Ts, RQRs, Zs, Hs = (jax.lax.stop_gradient(m) for m in (T, RQR, Z, H))
+
+    def one(P, _):
+        return _dare_step(P, Ts, RQRs, Zs, Hs), None
+
+    P, _ = jax.lax.scan(one, RQRs, None, length=n_settle)
+    P = _implicit_dare_P(T, RQR, Z, H, P)
+
+    PZt = P @ Z.T
+    S = Z @ PZt + H
+    chol_S = jnp.linalg.cholesky(S)
+    K = jax.scipy.linalg.cho_solve((chol_S, True), PZt.T).T
+    TK = T @ K
+    M = T - TK @ Z
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol_S)))
+    const = -0.5 * (k * _LOG2PI + logdet)
+
+    def fast_step(x_pred, y_t):
+        v = y_t - Z @ x_pred - d
+        w = jax.scipy.linalg.cho_solve((chol_S, True), v)
+        ll_t = const - 0.5 * (v @ w)
+        x_pred_next = M @ x_pred + TK @ (y_t - d)
+        return x_pred_next, ll_t
+
+    _, ll_t = jax.lax.scan(fast_step, jnp.asarray(x0, dtype), y)
+    ll = jnp.sum(ll_t)
+    return jnp.where(jnp.isfinite(ll), ll, -jnp.inf)
+
+
 @highest_precision
 def steady_state_kalman_loglik(y, T, R, Q, Z, H, d=None, x0=None, P0=None,
                                n_settle: int = 48):

@@ -134,9 +134,9 @@ class DSGEStateSpace:
             raise ValueError(f"observed_states not in model: {sorted(unknown_obs)}")
         self.observed_states = list(observed_states)
         if filter_type not in ("sequential", "parallel", "steady_state",
-                               "chandrasekhar"):
+                               "stationary", "chandrasekhar"):
             raise ValueError("filter_type must be 'sequential', 'parallel', "
-                             "'steady_state' or 'chandrasekhar'")
+                             "'steady_state', 'stationary' or 'chandrasekhar'")
         self.filter_type = filter_type
         self.kalman_settle = int(kalman_settle)
         self.ss_obs_intercept = ss_obs_intercept
@@ -612,11 +612,20 @@ class DSGEStateSpace:
             raise ValueError(
                 f"data must be (periods, {len(self.observed_states)}), got {y.shape}")
         filter_type = getattr(self, "filter_type", "sequential")
-        if filter_type in ("steady_state", "chandrasekhar") \
+        if filter_type in ("steady_state", "stationary", "chandrasekhar") \
                 and bool(np.isnan(data).any()):
             raise ValueError(f"filter_type={filter_type!r} requires fully "
                              "observed data (no NaN); use 'sequential'")
-        if filter_type == "chandrasekhar":
+        if filter_type == "stationary":
+            import functools
+
+            from ..ops.kalman import stationary_kalman_loglik
+
+            def _loglik(y_, T_, R_, Q_, Z_, H_, d=None):
+                return stationary_kalman_loglik(
+                    y_, T_, R_, Q_, Z_, H_, d=d,
+                    n_settle=self.kalman_settle)
+        elif filter_type == "chandrasekhar":
             from ..ops.chandrasekhar import chandrasekhar_loglik as _loglik
         elif filter_type == "parallel":
             from ..ops.parallel_kalman import parallel_kalman_filter
