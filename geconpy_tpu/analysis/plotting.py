@@ -289,13 +289,36 @@ def plot_posterior_with_prior(result, priors: dict, n_cols: int = 3,
     return fig
 
 
-def plot_eigenvalue_sensitivity(sensitivity_df, ax=None):
+def plot_eigenvalue_sensitivity(sensitivity_df, ax=None, n_eigs: int = 6):
+    """Bar panel of eigenvalue sensitivities.
+
+    Accepts either the per-eigenvalue table from
+    ``eigenvalue_sensitivity`` (plots d|λ|/dθ for the ``n_eigs``
+    eigenvalues closest to the unit circle) or the single-row
+    ``spectral_radius_sensitivity`` frame."""
     plt = _plt()
+    if "d_rho_d_param" in getattr(sensitivity_df, "columns", ()):
+        if ax is None:
+            _, ax = plt.subplots(figsize=(6, 3))
+        sensitivity_df["d_rho_d_param"].plot.bar(ax=ax)
+        ax.set_ylabel(r"$\partial \rho(T) / \partial \theta$")
+        ax.axhline(0, color="k", lw=0.5)
+        return ax
+    import numpy as _np
+
+    mod = sensitivity_df.attrs.get("modulus")
+    dmod = sensitivity_df.xs("modulus", level="part")
+    if mod is not None:
+        order = _np.argsort(_np.abs(_np.asarray(mod) - 1.0))[:n_eigs]
+    else:
+        order = dmod.index[:n_eigs]
     if ax is None:
-        _, ax = plt.subplots(figsize=(6, 3))
-    sensitivity_df["d_rho_d_param"].plot.bar(ax=ax)
-    ax.set_ylabel(r"$\partial \rho(T) / \partial \theta$")
+        _, ax = plt.subplots(figsize=(7, 3.2))
+    sub = dmod.loc[list(order)]
+    sub.T.plot.bar(ax=ax)
+    ax.set_ylabel(r"$\partial |\lambda| / \partial \theta$")
     ax.axhline(0, color="k", lw=0.5)
+    ax.legend(title="eigenvalue", fontsize=7)
     return ax
 
 

@@ -12,6 +12,7 @@ from .estimation import PosteriorResult, fit
 from .nuts import NUTSResult, nuts_kernel, sample_nuts
 from .perturbation_diagnostics import (
     eigenvalue_sensitivity,
+    spectral_radius_sensitivity,
     prior_solvability_check,
     solvability_check,
     summarize_perturbation_solution,
@@ -40,7 +41,8 @@ __all__ = [
     "effective_sample_size", "split_rhat", "summarize_chains",
     "stationary_covariance", "stationary_covariance_matrix",
     "autocovariance", "autocovariance_matrix", "autocorrelation", "fevd",
-    "eigenvalue_sensitivity", "prior_solvability_check", "solvability_check",
+    "eigenvalue_sensitivity", "spectral_radius_sensitivity",
+    "prior_solvability_check", "solvability_check",
     "summarize_perturbation_solution",
     "posterior_irfs", "posterior_autocorrelation", "posterior_fevd",
     "posterior_smoothed_states", "posterior_diagnostics",

@@ -26,7 +26,8 @@ from .sampling import sample_from_priors, sample_from_priors_qmc, \
     sample_uniform_from_priors
 
 __all__ = ["solvability_check", "prior_solvability_check",
-           "summarize_perturbation_solution", "eigenvalue_sensitivity"]
+           "summarize_perturbation_solution", "eigenvalue_sensitivity",
+           "spectral_radius_sensitivity"]
 
 _STAGES = ["steady_state", "linearization", "policy_solve", "stability",
            "residual_norms"]
@@ -160,15 +161,10 @@ def summarize_perturbation_solution(solution) -> pd.DataFrame:
     return out
 
 
-def eigenvalue_sensitivity(model: Model, **updates) -> pd.DataFrame:
-    """d(spectral radius of T)/d(parameter) via the solver adjoints.
-
-    Role parity with the reference's autodiff eigenvalue sensitivity
-    (``perturbation_diagnostics.py:244``) — here the differentiable quantity
-    is the policy spectral radius (XLA-TPU has no differentiable
-    nonsymmetric eig; the full per-eigenvalue table remains host-side via
-    ``Model.check_bk_condition``).
-    """
+def spectral_radius_sensitivity(model: Model, **updates) -> pd.DataFrame:
+    """d(spectral radius of T)/d(parameter) via the solver adjoints — a
+    cheap whole-system stability gradient (Gelfand matrix-power proxy) that
+    stays fully on device."""
     linearize = model.linearizer(True)
 
     def rho_of_theta(theta):
@@ -185,3 +181,77 @@ def eigenvalue_sensitivity(model: Model, **updates) -> pd.DataFrame:
     grad = jax.jit(jax.grad(rho_of_theta))(theta)
     names = [p.name for p in model.functions.free_params]
     return pd.DataFrame({"d_rho_d_param": np.asarray(grad)}, index=names)
+
+
+def _bk_companion(A, B, C, lead_idx, eps: float = 1e-7):
+    """Sims-augmented transition matrix M = (−Γ0 + εI)⁻¹ Γ1 whose
+    eigenvalues are the BK generalized eigenvalues (infinite roots become
+    O(1/ε), still counted as unstable).  Traced/differentiable.
+
+    ε trades off the perturbation of finite roots (O(ε)) against the eig
+    accuracy of the finite roots, which degrades as O(macheps · 1/ε) through
+    the O(1/ε) regularized-infinite roots; 1e-7 keeps both below ~1e-5 in
+    float64.  Mirrors the reference's symbolic construction
+    (``gEconpy/model/perturbation.py:448``)."""
+    n = A.shape[0]
+    k = len(lead_idx)
+    m = n + k
+    dtype = A.dtype
+    lead_j = jnp.asarray(np.asarray(lead_idx), dtype=jnp.int32)
+
+    g0 = jnp.zeros((m, m), dtype)
+    g0 = g0.at[:n, :n].set(-B)
+    g0 = g0.at[:n, n:].set(-C[:, lead_j])
+    g0 = g0.at[jnp.arange(n, m), lead_j].set(1.0)
+
+    g1 = jnp.zeros((m, m), dtype)
+    g1 = g1.at[:n, :n].set(A)
+    g1 = g1.at[jnp.arange(n, m), jnp.arange(n, m)].set(1.0)
+
+    G0 = g0 + eps * jnp.eye(m, dtype=dtype)
+    return jnp.linalg.solve(G0, g1)
+
+
+def eigenvalue_sensitivity(model: Model, **updates) -> pd.DataFrame:
+    """Per-eigenvalue sensitivity table: d(Re λ)/dθ, d(Im λ)/dθ and
+    d|λ|/dθ for every eigenvalue of the Sims-augmented BK pencil.
+
+    Role parity with the reference's autodiff eigenvalue sensitivity
+    (``gEconpy/model/statistics/perturbation_diagnostics.py:244``): exact
+    per-eigenvalue gradients through the differentiable eigenvalue op
+    (:func:`geconpy_tpu.ops.eig.eig_vals` — host-callback factorization
+    with an analytic VJP).  Returns a DataFrame indexed by
+    (eigenvalue index, part ∈ {real, imag, modulus}) with one column per
+    free parameter, plus the eigenvalues themselves in ``.attrs``.
+    """
+    from ..ops.eig import eig_vals
+
+    linearize = model.linearizer(True)
+    lead_idx = model.lead_var_idx
+
+    def lam_parts(theta):
+        sol = model.ss_solver(theta)
+        lin = linearize(sol.x_ss, sol.theta_full)
+        M = _bk_companion(lin.A, lin.B, lin.C, lead_idx)
+        re, im = eig_vals(M)
+        return jnp.stack([re, im])
+
+    theta = model.default_theta(**updates)
+    parts = np.asarray(lam_parts(theta))
+    jac = np.asarray(jax.jacrev(lam_parts)(theta))  # (2, m, P)
+    re, im = parts[0], parts[1]
+    mod = np.hypot(re, im)
+    # chain rule for the modulus, guarding |λ| = 0
+    denom = np.where(mod > 0, mod, 1.0)
+    dmod = (re[:, None] * jac[0] + im[:, None] * jac[1]) / denom[:, None]
+
+    names = [p.name for p in model.functions.free_params]
+    m = len(re)
+    index = pd.MultiIndex.from_product(
+        [range(m), ["real", "imag", "modulus"]],
+        names=["eigenvalue", "part"])
+    table = np.concatenate([jac[0], jac[1], dmod], axis=1).reshape(m, 3, -1)
+    df = pd.DataFrame(table.reshape(m * 3, -1), index=index, columns=names)
+    df.attrs["eigenvalues"] = re + 1j * im
+    df.attrs["modulus"] = mod
+    return df

@@ -78,8 +78,37 @@ def test_summarize_perturbation_solution(rbc):
     np.testing.assert_allclose(table.loc[("P", "A"), "A"], 0.95, atol=1e-8)
 
 
-def test_eigenvalue_sensitivity(rbc):
-    df = eigenvalue_sensitivity(rbc)
+def test_spectral_radius_sensitivity(rbc):
+    from geconpy_tpu.stats import spectral_radius_sensitivity
+
+    df = spectral_radius_sensitivity(rbc)
     assert np.isfinite(df["d_rho_d_param"]).all()
     # persistence parameter rho_A raises the spectral radius
     assert df.loc["rho_A", "d_rho_d_param"] > 0
+
+
+def test_eigenvalue_sensitivity_table(rbc):
+    """Per-eigenvalue d|λ|/dθ table matches central finite differences
+    (reference role: perturbation_diagnostics.py:244)."""
+    df = eigenvalue_sensitivity(rbc)
+    mods = np.asarray(df.attrs["modulus"])
+    assert np.all(np.isfinite(df.to_numpy()))
+
+    # the AR(1) technology eigenvalue |λ| = rho_A must have d|λ|/d rho_A = 1
+    tech = int(np.argmin(np.abs(mods - 0.95)))
+    np.testing.assert_allclose(
+        df.loc[(tech, "modulus"), "rho_A"], 1.0, atol=1e-5)
+
+    # finite-difference check wrt beta on an eigenvalue-ORDER-invariant
+    # scalar (individual indices can swap between the θ±eps calls when
+    # moduli cross): sum of finite-root moduli
+    # exclude regularized infinite roots AND near-zero roots (|λ| is not
+    # differentiable at 0, so FD there is noise)
+    finite_roots = (mods < 1e6) & (mods > 1e-4)
+    eps = 1e-4
+    hi = eigenvalue_sensitivity(rbc, beta=0.99 + eps)
+    lo = eigenvalue_sensitivity(rbc, beta=0.99 - eps)
+    fd = (np.asarray(hi.attrs["modulus"])[finite_roots].sum() -
+          np.asarray(lo.attrs["modulus"])[finite_roots].sum()) / (2 * eps)
+    got = df.xs("modulus", level="part")["beta"].to_numpy()[finite_roots].sum()
+    np.testing.assert_allclose(got, fd, rtol=1e-4)
