@@ -38,31 +38,59 @@ def _plt():
     return plt
 
 
-def prepare_gridspec_figure(n_plots: int, n_cols: int = 3, figsize=None):
-    """Figure + axes grid sized for ``n_plots`` panels."""
+def prepare_gridspec_figure(n_plots: int, n_cols: int = 3, figsize=None,
+                            sharex: bool = False, sharey: bool = False,
+                            suptitle: str | None = None):
+    """Figure + axes grid sized for ``n_plots`` panels.
+
+    ``sharex``/``sharey`` share the axes across panels (role parity with the
+    reference's gridspec helper, ``gEconpy/plotting.py:46``); surplus panels
+    are hidden, and with ``sharex`` the x tick labels stay visible on the
+    last occupied panel of each column."""
     plt = _plt()
     n_rows = -(-n_plots // n_cols)
     if figsize is None:
         figsize = (4 * n_cols, 2.6 * n_rows)
-    fig, axes = plt.subplots(n_rows, n_cols, figsize=figsize, squeeze=False)
+    fig, axes = plt.subplots(n_rows, n_cols, figsize=figsize, squeeze=False,
+                             sharex=sharex, sharey=sharey)
     flat = axes.ravel()
-    for ax in flat[n_plots:]:
-        ax.set_visible(False)
+    for idx in range(n_plots, len(flat)):
+        flat[idx].set_visible(False)
+        if sharex and idx >= n_cols:
+            # re-enable tick labels on the panel above the hidden one
+            flat[idx - n_cols].tick_params(labelbottom=True)
+    if suptitle:
+        fig.suptitle(suptitle)
     return fig, flat[:n_plots]
 
 
+def _hdi_band(draws_2d: np.ndarray, ci: float):
+    """(lo, hi) equal-tailed interval across axis 0."""
+    lo_q, hi_q = (1 - ci) / 2, 1 - (1 - ci) / 2
+    return (np.quantile(draws_2d, lo_q, axis=0),
+            np.quantile(draws_2d, hi_q, axis=0))
+
+
 def plot_simulation(simulation_df, variables=None, n_cols: int = 3,
-                    alpha: float = 0.3, ci: float = 0.9):
-    """Fan chart of simulated paths: per-variable quantile band + mean."""
+                    alpha: float = 0.3, ci: float = 0.9,
+                    n_paths: int = 0, sharex: bool = True):
+    """Fan chart of simulated paths: per-variable quantile band + mean,
+    optionally overlaying ``n_paths`` individual trajectories (spaghetti) —
+    role parity with ``gEconpy/plotting.py:202``."""
     variables = variables or list(simulation_df.columns)
-    fig, axes = prepare_gridspec_figure(len(variables), n_cols)
+    fig, axes = prepare_gridspec_figure(len(variables), n_cols, sharex=sharex)
     grouped = simulation_df.groupby(level="time")
     lo_q, hi_q = (1 - ci) / 2, 1 - (1 - ci) / 2
+    sims = simulation_df.index.get_level_values("simulation").unique() \
+        if "simulation" in (simulation_df.index.names or ()) else []
     for ax, var in zip(axes, variables):
         mean = grouped[var].mean()
         lo = grouped[var].quantile(lo_q)
         hi = grouped[var].quantile(hi_q)
         ax.fill_between(mean.index, lo, hi, alpha=alpha)
+        for s in list(sims)[:n_paths]:
+            path = simulation_df.xs(s, level="simulation")[var]
+            ax.plot(path.index, path.values, lw=0.5, alpha=0.5, color="gray")
         ax.plot(mean.index, mean.values, lw=1.5)
         ax.set_title(var)
         ax.axhline(0.0, color="k", lw=0.5, ls=":")
@@ -71,32 +99,91 @@ def plot_simulation(simulation_df, variables=None, n_cols: int = 3,
 
 
 def plot_irf(irf_df, variables=None, shocks=None, n_cols: int = 3,
-             legend: bool = True):
-    """IRF panels per variable, one line per shock."""
-    variables = variables or list(irf_df.columns)
+             legend: bool = True, ci: float | None = 0.9,
+             group_by: str = "variable", cumulative: bool = False,
+             sharex: bool = True):
+    """IRF panels (role parity with ``gEconpy/plotting.py:393``).
+
+    - point IRFs: MultiIndex (shock, time) — one line per shock.
+    - posterior IRFs: MultiIndex (draw, shock, time) — median line with the
+      ``ci`` equal-tailed HDI band per shock.
+    - ``group_by``: 'variable' (panel per variable, line per shock) or
+      'shock' (panel per shock, line per variable).
+    - ``cumulative``: plot cumulated responses (flow -> level).
+    """
+    posterior = "variable" in (irf_df.index.names or ()) \
+        and "mean" in irf_df.columns
+    if posterior:
+        variables = variables or list(
+            irf_df.index.get_level_values("variable").unique())
+    else:
+        variables = variables or list(irf_df.columns)
     shocks = shocks or list(irf_df.index.get_level_values("shock").unique())
-    fig, axes = prepare_gridspec_figure(len(variables), n_cols)
-    for ax, var in zip(axes, variables):
-        for shock in shocks:
-            series = irf_df.loc[shock][var]
-            ax.plot(series.index, series.values, label=shock)
-        ax.set_title(var)
+
+    if group_by not in ("variable", "shock"):
+        raise ValueError("group_by must be 'variable' or 'shock'")
+    panels = variables if group_by == "variable" else shocks
+    lines = shocks if group_by == "variable" else variables
+    fig, axes = prepare_gridspec_figure(len(panels), n_cols, sharex=sharex)
+
+    qcols = sorted(c for c in getattr(irf_df, "columns", ())
+                   if str(c).startswith("q"))
+
+    for ax, panel in zip(axes, panels):
+        for li, line in enumerate(lines):
+            var = panel if group_by == "variable" else line
+            shock = line if group_by == "variable" else panel
+            if posterior:
+                sub = irf_df.xs((shock, var), level=("shock", "variable"))
+                center = sub["q0.5"] if "q0.5" in sub else sub["mean"]
+                t = np.asarray(sub.index)
+                vals = center.to_numpy()
+                if cumulative:
+                    vals = np.cumsum(vals)
+                ax.plot(t, vals, label=str(line), color=f"C{li}")
+                if ci and len(qcols) >= 2:
+                    lo = sub[qcols[0]].to_numpy()
+                    hi = sub[qcols[-1]].to_numpy()
+                    if cumulative:
+                        lo, hi = np.cumsum(lo), np.cumsum(hi)
+                    ax.fill_between(t, lo, hi, alpha=0.25, color=f"C{li}")
+            else:
+                sub = irf_df.xs(shock, level="shock")[var]
+                vals = sub.to_numpy()
+                if cumulative:
+                    vals = np.cumsum(vals)
+                ax.plot(sub.index, vals, label=str(line), color=f"C{li}")
+        ax.set_title(str(panel))
         ax.axhline(0.0, color="k", lw=0.5, ls=":")
-    if legend and len(shocks) > 1:
+    if legend and len(lines) > 1:
         axes[0].legend(fontsize=8)
     fig.tight_layout()
     return fig
 
 
-def plot_eigenvalues(bk_table, ax=None):
-    """Unit-circle eigenvalue plot from Model.check_bk_condition output."""
+def plot_eigenvalues(bk_table, ax=None, annotate_near: float = 0.15):
+    """Unit-circle eigenvalue plot from Model.check_bk_condition output.
+
+    Stable roots plot in blue, unstable in red; roots within
+    ``annotate_near`` of the unit circle get their modulus annotated
+    (they decide BK by a hair)."""
     plt = _plt()
     if ax is None:
         _, ax = plt.subplots(figsize=(5, 5))
     theta = np.linspace(0, 2 * np.pi, 200)
     ax.plot(np.cos(theta), np.sin(theta), "k--", lw=0.7)
     finite = np.isfinite(bk_table["modulus"])
-    ax.scatter(bk_table["real"][finite], bk_table["imag"][finite], s=25)
+    mod = np.asarray(bk_table["modulus"][finite], dtype=float)
+    re = np.asarray(bk_table["real"][finite], dtype=float)
+    im = np.asarray(bk_table["imag"][finite], dtype=float)
+    stable = mod < 1.0
+    ax.scatter(re[stable], im[stable], s=25, c="C0", label="stable")
+    if (~stable).any():
+        ax.scatter(re[~stable], im[~stable], s=25, c="C3", label="unstable")
+    for r, i, m in zip(re, im, mod):
+        if abs(m - 1.0) < annotate_near:
+            ax.annotate(f"{m:.3f}", (r, i), fontsize=7,
+                        xytext=(3, 3), textcoords="offset points")
     n_inf = int((~finite).sum())
     title = "Generalized eigenvalues"
     if n_inf:
@@ -105,6 +192,7 @@ def plot_eigenvalues(bk_table, ax=None):
     ax.set_xlabel("Re")
     ax.set_ylabel("Im")
     ax.set_aspect("equal")
+    ax.legend(fontsize=7, loc="upper right")
     return ax
 
 
@@ -193,28 +281,61 @@ def plot_estimated_matrix(posterior_matrices, index=None, columns=None,
     return fig
 
 
-def plot_acf(acf_df, variables=None, n_cols: int = 3):
-    """Autocorrelation-function stem plots (per variable, vs itself)."""
-    variables = variables or list(acf_df.columns)
-    fig, axes = prepare_gridspec_figure(len(variables), n_cols)
-    lags = acf_df.index.get_level_values("lag").unique()
+def plot_acf(acf_df, variables=None, n_cols: int = 3, ci: float | None = 0.9,
+             n_obs: int | None = None):
+    """Autocorrelation-function panels (role parity with
+    ``gEconpy/plotting.py:1454``).
+
+    - point ACF: MultiIndex (lag, variable) — bar per lag.
+    - posterior ACF: MultiIndex (draw, lag, variable) — posterior-median
+      bars with ``ci`` HDI whiskers per lag.
+    - ``n_obs``: draw the ±1.96/√T white-noise significance band.
+    """
+    posterior = "variable" in (acf_df.index.names or ()) \
+        and "mean" in getattr(acf_df, "columns", ())
+    if posterior:
+        variables = variables or list(
+            acf_df.index.get_level_values("variable").unique())
+    else:
+        variables = variables or list(acf_df.columns)
+    fig, axes = prepare_gridspec_figure(len(variables), n_cols, sharey=True)
+    lags = np.asarray(sorted(acf_df.index.get_level_values("lag").unique()))
+    qcols = sorted(c for c in getattr(acf_df, "columns", ())
+                   if str(c).startswith("q"))
     for ax, var in zip(axes, variables):
-        values = [acf_df.loc[(lag, var), var] for lag in lags]
-        ax.bar(lags, values, width=0.3)
+        if posterior:
+            sub = acf_df.xs(var, level="variable")
+            med = (sub["q0.5"] if "q0.5" in sub else sub["mean"]).to_numpy()
+            ax.bar(lags, med, width=0.3)
+            if ci and len(qcols) >= 2:
+                lo = sub[qcols[0]].to_numpy()
+                hi = sub[qcols[-1]].to_numpy()
+                ax.errorbar(lags, med, yerr=[med - lo, hi - med], fmt="none",
+                            ecolor="k", elinewidth=0.8, capsize=2)
+        else:
+            values = [acf_df.loc[(lag, var), var] for lag in lags]
+            ax.bar(lags, values, width=0.3)
+        if n_obs:
+            band = 1.96 / np.sqrt(n_obs)
+            ax.axhspan(-band, band, color="gray", alpha=0.15)
         ax.set_title(var)
         ax.set_ylim(-1.05, 1.05)
+        ax.axhline(0.0, color="k", lw=0.5)
     fig.tight_layout()
     return fig
 
 
-def plot_corner(samples, names=None, figsize=None):
-    """Corner (pairs) plot of posterior draws (chains, draws, dim)."""
+def plot_corner(samples, names=None, figsize=None, truths: dict | None = None):
+    """Corner (pairs) plot of posterior draws (chains, draws, dim), with
+    optional true-value crosshairs (role parity with
+    ``gEconpy/plotting.py:1680``)."""
     plt = _plt()
     arr = np.asarray(samples)
     if arr.ndim == 3:
         arr = arr.reshape(-1, arr.shape[-1])
     d = arr.shape[1]
     names = names or [f"x{i}" for i in range(d)]
+    truth_vals = [truths.get(n) if truths else None for n in names]
     fig, axes = plt.subplots(d, d, figsize=figsize or (2 * d, 2 * d),
                              squeeze=False)
     for i in range(d):
@@ -224,8 +345,14 @@ def plot_corner(samples, names=None, figsize=None):
                 ax.set_visible(False)
             elif i == j:
                 ax.hist(arr[:, i], bins=40, density=True)
+                if truth_vals[i] is not None:
+                    ax.axvline(truth_vals[i], color="C3", lw=1.2, ls="--")
             else:
                 ax.hist2d(arr[:, j], arr[:, i], bins=40)
+                if truth_vals[j] is not None:
+                    ax.axvline(truth_vals[j], color="C3", lw=0.9, ls="--")
+                if truth_vals[i] is not None:
+                    ax.axhline(truth_vals[i], color="C3", lw=0.9, ls="--")
             if i == d - 1:
                 ax.set_xlabel(names[j], fontsize=8)
             if j == 0:
@@ -235,19 +362,38 @@ def plot_corner(samples, names=None, figsize=None):
 
 
 def plot_kalman_filter(filter_result, data=None, state_names=None,
-                       kind: str = "filtered", n_cols: int = 3):
-    """Filtered/predicted/smoothed state paths with 1-sigma bands."""
-    mean = np.asarray(getattr(filter_result, f"{kind}_mean"))
-    cov = np.asarray(getattr(filter_result, f"{kind}_cov"))
-    n = mean.shape[1]
-    state_names = list(state_names) if state_names is not None else [f"state {i}" for i in range(n)]
-    fig, axes = prepare_gridspec_figure(n, n_cols)
-    t = np.arange(mean.shape[0])
+                       kind: str | tuple = "filtered", n_cols: int = 3,
+                       observed_idx=None, n_sd: float = 1.0):
+    """State paths with ±``n_sd``·σ bands (role parity with
+    ``gEconpy/plotting.py:1788``).
+
+    ``kind`` may be one name or several ('filtered', 'predicted',
+    'smoothed') overlaid per panel; ``data`` (periods, k_obs) with
+    ``observed_idx`` (state column per observable) scatters the
+    observations onto the matching state panels."""
+    kinds = (kind,) if isinstance(kind, str) else tuple(kind)
+    mean0 = np.asarray(getattr(filter_result, f"{kinds[0]}_mean"))
+    n = mean0.shape[1]
+    state_names = list(state_names) if state_names is not None \
+        else [f"state {i}" for i in range(n)]
+    fig, axes = prepare_gridspec_figure(n, n_cols, sharex=True)
+    t = np.arange(mean0.shape[0])
     for i, ax in enumerate(axes):
-        sd = np.sqrt(np.maximum(cov[:, i, i], 0))
-        ax.fill_between(t, mean[:, i] - sd, mean[:, i] + sd, alpha=0.3)
-        ax.plot(t, mean[:, i], lw=1.2)
+        for ki, kname in enumerate(kinds):
+            mean = np.asarray(getattr(filter_result, f"{kname}_mean"))
+            cov = np.asarray(getattr(filter_result, f"{kname}_cov"))
+            sd = n_sd * np.sqrt(np.maximum(cov[:, i, i], 0))
+            ax.fill_between(t, mean[:, i] - sd, mean[:, i] + sd, alpha=0.25,
+                            color=f"C{ki}")
+            ax.plot(t, mean[:, i], lw=1.2, color=f"C{ki}", label=kname)
+        if data is not None and observed_idx is not None:
+            for j, state_col in enumerate(observed_idx):
+                if state_col == i:
+                    ax.scatter(t, np.asarray(data)[:, j], s=6, c="k",
+                               zorder=3, label="observed")
         ax.set_title(state_names[i])
+    if len(kinds) > 1 or (data is not None and observed_idx is not None):
+        axes[0].legend(fontsize=7)
     fig.tight_layout()
     return fig
 
@@ -268,21 +414,38 @@ def plot_priors(priors: dict, n_cols: int = 3, n_points: int = 300):
 
 
 def plot_posterior_with_prior(result, priors: dict, n_cols: int = 3,
-                              n_points: int = 300):
-    """Posterior histograms overlaid with prior densities."""
+                              n_points: int = 300, true_values: dict | None = None,
+                              per_chain: bool = False):
+    """Posterior histograms overlaid with prior densities (role parity with
+    ``gEconpy/plotting.py:1932``).
+
+    ``true_values`` marks known values (simulation studies) as vertical
+    lines; ``per_chain`` overlays a translucent histogram per chain so
+    between-chain disagreement (bad mixing) is visible."""
     import jax.numpy as jnp
 
     names = result.param_names
     fig, axes = prepare_gridspec_figure(len(names), n_cols)
-    flat = result.samples.reshape(-1, len(names))
+    samples = np.asarray(result.samples)
+    flat = samples.reshape(-1, len(names))
     for i, (ax, name) in enumerate(zip(axes, names)):
-        ax.hist(flat[:, i], bins=40, density=True, alpha=0.6,
-                label="posterior")
+        if per_chain and samples.ndim == 3:
+            for c in range(samples.shape[0]):
+                ax.hist(samples[c, :, i], bins=30, density=True, alpha=0.35,
+                        histtype="stepfilled")
+        else:
+            ax.hist(flat[:, i], bins=40, density=True, alpha=0.6,
+                    label="posterior")
         if name in priors:
             lo, hi = priors[name].hdi(0.995)
             xs = np.linspace(lo, hi, n_points)
             ys = np.exp(np.asarray(priors[name].logpdf(jnp.asarray(xs))))
             ax.plot(xs, ys, "k-", lw=1.2, label="prior")
+        if true_values and name in true_values:
+            ax.axvline(true_values[name], color="C3", lw=1.4, ls="--",
+                       label="true")
+        # posterior mean marker
+        ax.axvline(flat[:, i].mean(), color="C0", lw=1.0, ls=":")
         ax.set_title(name)
     axes[0].legend(fontsize=8)
     fig.tight_layout()

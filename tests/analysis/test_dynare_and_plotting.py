@@ -104,3 +104,109 @@ def test_plot_kalman(solution):
     res = kalman_filter(y, T, R, Q, Z, H)
     fig = plotting.plot_kalman_filter(res, state_names=solution.T.columns)
     assert fig is not None
+
+
+def test_plot_irf_posterior_bands_and_grouping(solution):
+    """Quantile-frame IRFs render HDI bands; group_by='shock' flips panels."""
+    import pandas as pd
+
+    periods, variables = 15, ["Y", "C"]
+    shocks = ["epsilon_A"]
+    index = pd.MultiIndex.from_product(
+        [shocks, variables, range(periods)],
+        names=["shock", "variable", "time"])
+    rng = np.random.default_rng(1)
+    base = rng.normal(size=len(index))
+    post = pd.DataFrame(index=index)
+    post["mean"] = base
+    post["q0.05"] = base - 0.2
+    post["q0.5"] = base
+    post["q0.95"] = base + 0.2
+    fig = plotting.plot_irf(post, ci=0.9)
+    # each visible panel has one line + one band polygon
+    visible = [ax for ax in fig.axes if ax.get_visible()]
+    assert len(visible) == 2
+    assert all(len(ax.lines) >= 1 and len(ax.collections) >= 1
+               for ax in visible)
+
+    fig2 = plotting.plot_irf(post, group_by="shock")
+    vis2 = [ax for ax in fig2.axes if ax.get_visible()]
+    assert len(vis2) == 1 and len(vis2[0].lines) >= 2  # line per variable
+
+    # cumulative point IRF still works
+    irf = impulse_response_function(solution, periods=10)
+    fig3 = plotting.plot_irf(irf, variables=["Y"], cumulative=True)
+    assert fig3 is not None
+
+
+def test_plot_acf_posterior_whiskers():
+    import pandas as pd
+
+    lags, variables = range(5), ["Y", "C"]
+    index = pd.MultiIndex.from_product([lags, variables],
+                                       names=["lag", "variable"])
+    rng = np.random.default_rng(2)
+    vals = rng.uniform(-0.5, 0.9, size=len(index))
+    post = pd.DataFrame(index=index)
+    post["mean"] = vals
+    post["q0.05"] = vals - 0.1
+    post["q0.5"] = vals
+    post["q0.95"] = vals + 0.1
+    fig = plotting.plot_acf(post, n_obs=100)
+    visible = [ax for ax in fig.axes if ax.get_visible()]
+    assert len(visible) == 2
+    # bars + errorbar containers + significance span
+    assert all(len(ax.patches) >= 5 for ax in visible)
+    assert all(len(ax.containers) >= 2 for ax in visible)
+
+
+def test_plot_kalman_multi_kind_with_data(solution):
+    from geconpy_tpu.ops.kalman import kalman_filter, kalman_smoother
+
+    T = solution.T.to_numpy()
+    R = solution.R.to_numpy()
+    Q = 0.0001 * np.eye(R.shape[1])
+    Z = np.eye(T.shape[0])[:2]
+    H = 0.0001 * np.eye(2)
+    y = np.asarray(simulate(solution, periods=40, n_simulations=1,
+                            shock_std=0.01)).reshape(40, -1)[:, :2]
+    res = kalman_filter(y, T, R, Q, Z, H)
+    fig = plotting.plot_kalman_filter(
+        res, data=y, observed_idx=[0, 1], kind=("filtered", "predicted"),
+        state_names=solution.T.columns)
+    visible = [ax for ax in fig.axes if ax.get_visible()]
+    # two mean lines per panel; observed scatter on the first two panels
+    assert all(len(ax.lines) >= 2 for ax in visible)
+    assert len(visible[0].collections) >= 3  # 2 bands + scatter
+
+
+def test_plot_posterior_overlays():
+    from dataclasses import dataclass
+
+    @dataclass
+    class FakeResult:
+        samples: np.ndarray
+        param_names: list
+
+    rng = np.random.default_rng(3)
+    res = FakeResult(samples=rng.normal(0.5, 0.05, size=(2, 300, 2)),
+                     param_names=["rho", "sig"])
+    priors = {"rho": Beta(28.5, 1.5), "sig": Gamma(4.0, 2.0)}
+    fig = plotting.plot_posterior_with_prior(
+        res, priors, true_values={"rho": 0.5}, per_chain=True)
+    visible = [ax for ax in fig.axes if ax.get_visible()]
+    assert len(visible) == 2
+    # prior curve + true-value line + posterior-mean line on first panel
+    assert len(visible[0].lines) >= 3
+
+    fig2 = plotting.plot_corner(res.samples, names=res.param_names,
+                                truths={"rho": 0.5, "sig": 0.5})
+    assert fig2 is not None
+
+
+def test_plot_simulation_spaghetti(solution):
+    sim = simulate(solution, periods=20, n_simulations=8)
+    fig = plotting.plot_simulation(sim, variables=["Y"], n_paths=5)
+    visible = [ax for ax in fig.axes if ax.get_visible()]
+    # 5 spaghetti + 1 mean line
+    assert len(visible[0].lines) >= 6
