@@ -247,13 +247,34 @@ def stationary_kalman_loglik(y, T, R, Q, Z, H, d=None, x0=None,
         x0 = jnp.zeros((n,), dtype)
     RQR = R @ Q @ R.T
 
-    # primal-only Riccati to the fixed point
+    # primal-only settle to the DARE fixed point: a few Riccati steps to
+    # stabilize the gain, then Hewer gain iterations — each solves the
+    # closed-loop Joseph Lyapunov equation exactly (doubling), so
+    # convergence is QUADRATIC and the implicit adjoint below sees a
+    # machine-accurate fixed point even for near-unit-root T (plain
+    # iteration converges only like rho(A_cl)^(2k))
+    from .lyapunov import _doubling
+
     Ts, RQRs, Zs, Hs = (jax.lax.stop_gradient(m) for m in (T, RQR, Z, H))
+    n_riccati = min(n_settle, 8)
 
     def one(P, _):
         return _dare_step(P, Ts, RQRs, Zs, Hs), None
 
-    P, _ = jax.lax.scan(one, RQRs, None, length=n_settle)
+    P, _ = jax.lax.scan(one, RQRs, None, length=n_riccati)
+
+    def hewer(P, _):
+        PZt = P @ Zs.T
+        S_h = Zs @ PZt + Hs
+        Kp = Ts @ jnp.linalg.solve(S_h, PZt.T).T      # predictive gain
+        A_cl = Ts - Kp @ Zs
+        Qc = RQRs + Kp @ Hs @ Kp.T
+        P_new = _doubling(A_cl, 0.5 * (Qc + Qc.T), 1e-14, 40)
+        # guard: keep the previous iterate if the Lyapunov solve blew up
+        ok = jnp.all(jnp.isfinite(P_new))
+        return jnp.where(ok, 0.5 * (P_new + P_new.T), P), None
+
+    P, _ = jax.lax.scan(hewer, P, None, length=4)
     P = _implicit_dare_P(T, RQR, Z, H, P)
 
     PZt = P @ Z.T

@@ -123,3 +123,43 @@ def test_statespace_stationary_filter_end_to_end():
     # head phase; at settle=80 of 120 periods they agree tightly
     np.testing.assert_allclose(float(lp_a), float(lp_b), rtol=2e-3)
     assert np.all(np.isfinite(np.asarray(g_a)))
+
+
+def test_hewer_settle_converges_near_unit_root():
+    """The Hewer gain-iteration settle reaches the DARE fixed point at
+    machine precision even for near-unit-root T, where plain Riccati
+    iteration at the same budget is far from converged."""
+    import jax
+
+    key = jax.random.PRNGKey(9)
+    n, m = 4, 2
+    k1, k2 = jax.random.split(key, 2)
+    # one root at 0.999, rest moderate; the slow mode is NOT observed, so
+    # the closed loop keeps the 0.999 pole and plain Riccati converges at
+    # rate 0.999^2 per step
+    U = jax.random.orthogonal(k1, n)
+    T = U @ jnp.diag(jnp.array([0.999, 0.6, 0.3, 0.1])) @ U.T
+    R = jax.random.normal(k2, (n, m))
+    Q = 0.01 * jnp.eye(m)
+    Z = U[:, 1][None, :]   # observe only the 0.6 mode's coordinate
+    H = 0.001 * jnp.eye(1)
+    RQR = R @ Q @ R.T
+
+    P_exact = _dare_fixed_point(T, RQR, Z, H, iters=400_00)
+
+    # plain iteration at the op's budget: still far away
+    P_plain = RQR
+    for _ in range(12):
+        P_plain = _dare_step(P_plain, T, RQR, Z, H)
+    err_plain = float(jnp.max(jnp.abs(P_plain - P_exact)) /
+                      jnp.max(jnp.abs(P_exact)))
+    assert err_plain > 1e-3  # plain is NOT converged at this budget
+
+    # the op (8 riccati + 4 hewer) agrees with the exact filter
+    y = _simulate(jax.random.PRNGKey(10), T, R, Q, Z, H, periods=50)
+    PZt = P_exact @ Z.T
+    K = np.linalg.solve(np.asarray(Z @ PZt + H), np.asarray(PZt.T)).T
+    P_upd = np.asarray(P_exact) - K @ np.asarray(PZt.T)
+    ll_exact = kalman_filter(y, T, R, Q, Z, H, P0=P_upd).loglik
+    ll_stat = stationary_kalman_loglik(y, T, R, Q, Z, H, n_settle=8)
+    np.testing.assert_allclose(float(ll_stat), float(ll_exact), rtol=1e-8)
