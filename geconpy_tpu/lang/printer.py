@@ -45,8 +45,13 @@ def print_expression(node: A.Expr) -> str:
         return f"-{inner}"
     if isinstance(node, A.BinaryOp):
         prec = _PRECEDENCE[node.op]
-        left = _paren(node.left, prec)
-        right = _paren(node.right, prec, right_side=node.op in ("-", "/", "^"))
+        if node.op == "^":
+            # right-associative: the LEFT child needs parens at equal precedence
+            left = _paren(node.left, prec, right_side=True)
+            right = _paren(node.right, prec)
+        else:
+            left = _paren(node.left, prec)
+            right = _paren(node.right, prec, right_side=node.op in ("-", "/"))
         return f"{left} {node.op} {right}"
     if isinstance(node, A.FunctionCall):
         return f"{node.name}({', '.join(print_expression(a) for a in node.args)})"
