@@ -614,8 +614,32 @@ class DSGEStateSpace:
         filter_type = getattr(self, "filter_type", "sequential")
         if filter_type in ("steady_state", "stationary", "chandrasekhar") \
                 and bool(np.isnan(data).any()):
+            if filter_type == "stationary":
+                # mixed-frequency data: a periodic missingness pattern keeps
+                # the constant-gain fast path via the cyclostationary filter
+                # (periodic DARE, one frozen gain per phase)
+                from ..ops.cyclo_kalman import (
+                    cyclostationary_kalman_loglik, detect_mask_period)
+
+                finite_mask = np.isfinite(np.asarray(data))
+                p = detect_mask_period(finite_mask)
+                if p is None:
+                    raise ValueError(
+                        "filter_type='stationary' with missing data requires "
+                        "a periodic missingness pattern (mixed-frequency, "
+                        "see prepare_mixed_frequency_data); use 'sequential' "
+                        "for arbitrary missingness")
+                pattern = finite_mask[:p]
+
+                def _loglik(y_, T_, R_, Q_, Z_, H_, d=None):
+                    return cyclostationary_kalman_loglik(
+                        y_, T_, R_, Q_, Z_, H_, d=d, mask_pattern=pattern,
+                        n_settle=self.kalman_settle)
+
+                return y, _loglik
             raise ValueError(f"filter_type={filter_type!r} requires fully "
-                             "observed data (no NaN); use 'sequential'")
+                             "observed data (no NaN); use 'sequential' or "
+                             "'stationary' (periodic patterns only)")
         if filter_type == "stationary":
             import functools
 

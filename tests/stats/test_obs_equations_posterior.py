@@ -98,6 +98,57 @@ def test_temporal_aggregation_pipeline(model):
     assert np.isfinite(float(ex.logpost)), ex
 
 
+def test_mixed_frequency_stationary_filter(model):
+    """filter_type='stationary' auto-routes periodically-missing data through
+    the cyclostationary filter (periodic DARE, per-phase frozen gains) and
+    stays close to the exact sequential filter on a long sample."""
+    def build(filter_type):
+        ss = DSGEStateSpace(model)
+        ss.configure(observed_states=["Y_q", "C"],
+                     aggregate={"Y_q": ("Y", "sum", 3)},
+                     filter_type=filter_type,
+                     constant_params=["alpha", "sigma_C"],
+                     measurement_error={"Y_q": 0.001, "C": 0.001})
+        return ss
+
+    ss_seq = build("sequential")
+    ss_cyc = build("stationary")
+    full, draw = ss_seq.data_from_prior(jax.random.PRNGKey(2), periods=480)
+    full = np.asarray(full)
+    # quarterly observable: keep every 3rd row, consumption stays monthly
+    full[:, 0] = prepare_mixed_frequency_data(
+        full[2::3, 0], period=3, n_high_freq=480)[:, 0]
+    u = ss_seq.unconstrain(draw)
+
+    gaps = {}
+    for T_len in (240, 480):
+        data = full[:T_len]
+        ll_seq = float(jax.jit(ss_seq.build_logpost_extras(data))(u).loglik)
+        ll_cyc = float(jax.jit(ss_cyc.build_logpost_extras(data))(u).loglik)
+        assert np.isfinite(ll_seq) and np.isfinite(ll_cyc)
+        gaps[T_len] = abs(ll_seq - ll_cyc)
+    # the two filters differ only in initialization (Lyapunov P0 vs periodic
+    # DARE fixed point): the gap is a bounded transient, NOT O(periods)
+    assert gaps[240] < 10.0, gaps
+    assert gaps[480] < gaps[240] + 1.0, gaps
+
+    # gradients flow through the implicit periodic-DARE adjoint
+    g = jax.grad(ss_cyc.build_logpost(data))(u)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_stationary_filter_rejects_aperiodic_missingness(model):
+    ss = DSGEStateSpace(model)
+    ss.configure(observed_states=["Y"], filter_type="stationary",
+                 constant_params=["alpha", "sigma_C"])
+    data, _ = ss.data_from_prior(jax.random.PRNGKey(3), periods=50)
+    data = np.asarray(data)
+    rng = np.random.default_rng(0)
+    data[rng.choice(50, 11, replace=False), 0] = np.nan
+    with pytest.raises(ValueError, match="periodic"):
+        ss.build_logpost_extras(data)
+
+
 @pytest.fixture(scope="module")
 def configured(model):
     ss = DSGEStateSpace(model)
