@@ -386,6 +386,47 @@ class Model:
             loglin_scale=np.asarray(lin.loglin_scale),
         )
 
+    def solve_model_second_order(
+        self,
+        loglin_variables="auto",
+        shock_std=None,
+        shock_cov=None,
+        solution: PolicySolution | None = None,
+        verbose: bool = False,
+        **updates,
+    ):
+        """Second-order perturbation (beyond reference parity; the reference
+        is first-order only — see ``models/second_order.py`` for the method).
+
+        Returns ``(PolicySolution, SecondOrderResult)``: the first-order
+        T/R plus the quadratic blocks G_xx/G_xu/G_uu and the uncertainty
+        correction g_ss (computed from the shock covariance — pass
+        ``shock_std`` or ``shock_cov``, default std 0.01 per shock).
+        """
+        from ..stats.covariance import build_shock_cov
+        from .second_order import make_second_order_solver
+
+        if solution is None:
+            solution = self.solve_model(loglin_variables=loglin_variables,
+                                        verbose=verbose, **updates)
+        theta = self.default_theta(**updates)
+        sol_ss = jax.jit(self.ss_solver)(theta)
+        resolved_loglin = (self.default_loglin if loglin_variables == "auto"
+                          else loglin_variables)
+        key = ("second_order",
+               resolved_loglin if isinstance(resolved_loglin, bool)
+               else tuple(sorted(resolved_loglin)))
+        if key not in self._solvers:
+            self._solvers[key] = jax.jit(make_second_order_solver(
+                self.functions, resolved_loglin))
+        T = jnp.asarray(solution.T.to_numpy())
+        R = jnp.asarray(solution.R.to_numpy())
+        Q = build_shock_cov(self.n_shocks, shock_std, shock_cov, dtype=T.dtype)
+        res2 = self._solvers[key](sol_ss.x_ss, sol_ss.theta_full, T, R, Q)
+        if not bool(res2.success):
+            _log.warning("second-order solve did not converge cleanly")
+        return solution, res2
+
     # ------------------------------------------------------------- diagnostics
     def check_bk_condition(self, verbose: bool = True, **updates) -> pd.DataFrame:
         """Blanchard-Kahn eigenvalue table (host-side QZ diagnostic).

@@ -1,0 +1,231 @@
+"""Second-order perturbation tests (models/second_order.py).
+
+Beyond reference parity (gEconpy is first-order only).  Anchors:
+
+- Brock-Mirman has the closed-form policy K' = alpha*beta*A*K^alpha — exactly
+  linear in logs (every second-order coefficient vanishes) with an
+  analytically known level-coordinate Taylor expansion.
+- For any model, plugging the second-order policy into the true nonlinear
+  equations must leave a residual of O(h^3) in the perturbation size h
+  (first order leaves O(h^2)).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import geconpy_tpu
+from geconpy_tpu.models.second_order import (
+    irf_second_order,
+    simulate_pruned,
+)
+
+ALPHA, BETA, RHO = 0.33, 0.96, 0.9
+
+
+@pytest.fixture(scope="module")
+def bm():
+    model = geconpy_tpu.model_from_gcn(
+        geconpy_tpu.get_example_gcn("brock_mirman"), verbose=False)
+    return model
+
+
+def test_loglin_second_order_vanishes(bm):
+    """In log coordinates the Brock-Mirman policy is exactly linear: all
+    second-order blocks must be numerically zero (lambda = 1/C and
+    Y = A K^alpha are log-linear too)."""
+    sol, res2 = bm.solve_model_second_order(shock_std=0.01)
+    assert bool(res2.success)
+    assert float(jnp.max(jnp.abs(res2.G_xx))) < 1e-7
+    assert float(jnp.max(jnp.abs(res2.G_xu))) < 1e-7
+    assert float(jnp.max(jnp.abs(res2.G_uu))) < 1e-7
+    assert float(jnp.max(jnp.abs(res2.g_ss))) < 1e-7
+
+
+def test_level_second_order_matches_analytic(bm):
+    """Level-coordinate quadratic terms of K' = alpha*beta*A'^  K^alpha with
+    A_t = A_{t-1}^rho e^eps, differentiated at the steady state."""
+    sol, res2 = bm.solve_model_second_order(loglin_variables=False,
+                                            shock_std=0.01)
+    assert bool(res2.success)
+    names = list(sol.T.index)
+    iK, iA = names.index("K"), names.index("A")
+    K = (ALPHA * BETA) ** (1 / (1 - ALPHA))
+    ab = ALPHA * BETA
+
+    G_xx = np.asarray(res2.G_xx)
+    G_xu = np.asarray(res2.G_xu)
+    G_uu = np.asarray(res2.G_uu)
+
+    # g_K(K_, A_, eps) = ab * A_^rho e^eps * K_^alpha
+    d2_KK = ab * ALPHA * (ALPHA - 1) * K ** (ALPHA - 2)
+    d2_KA = ab * RHO * ALPHA * K ** (ALPHA - 1)
+    d2_AA = ab * RHO * (RHO - 1) * K ** ALPHA
+    d2_Ke = ab * ALPHA * K ** (ALPHA - 1)
+    d2_Ae = ab * RHO * K ** ALPHA
+    d2_ee = ab * K ** ALPHA
+
+    np.testing.assert_allclose(G_xx[iK, iK, iK], d2_KK, rtol=1e-6)
+    np.testing.assert_allclose(G_xx[iK, iK, iA], d2_KA, rtol=1e-6)
+    np.testing.assert_allclose(G_xx[iK, iA, iA], d2_AA, rtol=1e-6)
+    np.testing.assert_allclose(G_xu[iK, iK, 0], d2_Ke, rtol=1e-6)
+    np.testing.assert_allclose(G_xu[iK, iA, 0], d2_Ae, rtol=1e-6)
+    np.testing.assert_allclose(G_uu[iK, 0, 0], d2_ee, rtol=1e-6)
+
+    # symmetry of the quadratic blocks
+    np.testing.assert_allclose(G_xx, np.swapaxes(G_xx, 1, 2), atol=1e-12)
+    np.testing.assert_allclose(G_uu, np.swapaxes(G_uu, 1, 2), atol=1e-12)
+
+
+def _unpruned_policy(T, R, res2, xhat, eps):
+    lin = T @ xhat + R @ eps
+    quad = 0.5 * jnp.einsum("ijk,j,k->i", res2.G_xx, xhat, xhat) \
+        + jnp.einsum("ijk,j,k->i", res2.G_xu, xhat, eps) \
+        + 0.5 * jnp.einsum("ijk,j,k->i", res2.G_uu, eps, eps)
+    return lin + quad
+
+
+def _residual_norm(model, sol, res2, h, order, rng):
+    """Residual of the true nonlinear equations along the (certainty-
+    equivalent) order-1/2 policy at perturbation size h."""
+    mf = model.functions
+    n, k = mf.n_variables, mf.n_shocks
+    theta = model.default_theta()
+    ss = jax.jit(model.ss_solver)(theta)
+    x_ss, theta_full = ss.x_ss, ss.theta_full
+    T = jnp.asarray(sol.T.to_numpy())
+    R = jnp.asarray(sol.R.to_numpy())
+    scale = jnp.asarray(sol.loglin_scale)
+    is_log = jnp.asarray(np.abs(np.asarray(sol.loglin_scale)
+                                - np.asarray(x_ss)) < 1e-12) & (x_ss > 1e-8)
+
+    def tx(yhat):
+        return jnp.where(is_log, x_ss * jnp.exp(yhat), x_ss + yhat)
+
+    dir_x = jnp.asarray(rng.standard_normal(n))
+    dir_x = dir_x / jnp.linalg.norm(dir_x)
+    dir_e = jnp.asarray(rng.standard_normal(k))
+    dir_e = dir_e / jnp.linalg.norm(dir_e)
+
+    xhat = h * dir_x
+    eps = h * dir_e
+    zero_e = jnp.zeros((k,))
+    if order == 1:
+        y0 = T @ xhat + R @ eps
+        y1 = T @ y0
+    else:
+        y0 = _unpruned_policy(T, R, res2, xhat, eps)
+        y1 = _unpruned_policy(T, R, res2, y0, zero_e)
+    resid = mf.f_resid(tx(xhat), tx(y0), tx(y1), eps, x_ss, theta_full)
+    return float(jnp.max(jnp.abs(resid)))
+
+
+def test_brock_mirman_policy_exact_in_logs(bm):
+    """The log-coordinate second-order policy IS the exact policy: nonlinear
+    residuals along it sit at machine epsilon for any perturbation size."""
+    sol, res2 = bm.solve_model_second_order(shock_std=0.01)
+    for h in (0.02, 0.2):
+        r2 = _residual_norm(bm, sol, res2, h, 2, np.random.default_rng(0))
+        assert r2 < 1e-12, (h, r2)
+
+
+@pytest.mark.parametrize("name", ["rbc", "rbc_ces"])
+def test_taylor_residual_scaling(name):
+    model = geconpy_tpu.model_from_gcn(geconpy_tpu.get_example_gcn(name),
+                                       verbose=False)
+    sol, res2 = model.solve_model_second_order(shock_std=0.01)
+    rng = np.random.default_rng(0)
+
+    h = 0.02
+    r1_h = _residual_norm(model, sol, res2, h, 1, np.random.default_rng(0))
+    r1_h2 = _residual_norm(model, sol, res2, h / 2, 1, np.random.default_rng(0))
+    r2_h = _residual_norm(model, sol, res2, h, 2, np.random.default_rng(0))
+    r2_h2 = _residual_norm(model, sol, res2, h / 2, 2, np.random.default_rng(0))
+
+    # second order: residual drops ~8x when h halves; first order: ~4x
+    assert r2_h / r2_h2 > 6.0, (r2_h, r2_h2)
+    assert 3.0 < r1_h / r1_h2 < 5.5, (r1_h, r1_h2)
+    # and the second-order residual is much smaller outright
+    assert r2_h < 0.05 * r1_h
+
+
+def test_brock_mirman_level_simulation_beats_first_order(bm):
+    """Simulate the EXACT nonlinear Brock-Mirman dynamics and compare level
+    paths: the pruned second-order error must be far below first order."""
+    sol, res2 = bm.solve_model_second_order(loglin_variables=False,
+                                            shock_std=0.02)
+    names = list(sol.T.index)
+    iK, iA = names.index("K"), names.index("A")
+    T = jnp.asarray(sol.T.to_numpy())
+    R = jnp.asarray(sol.R.to_numpy())
+    K_ss = (ALPHA * BETA) ** (1 / (1 - ALPHA))
+
+    rng = np.random.default_rng(5)
+    periods = 60
+    eps = 0.02 * rng.standard_normal((periods, 1))
+
+    # exact: K' = ab A' K^alpha, A' = A^rho e^eps
+    K_path, A_path = [], []
+    K_, A_ = K_ss, 1.0
+    for t in range(periods):
+        A_ = A_ ** RHO * np.exp(eps[t, 0])
+        K_ = ALPHA * BETA * A_ * K_ ** ALPHA
+        K_path.append(K_)
+        A_path.append(A_)
+    K_exact = np.asarray(K_path)
+
+    path2 = np.asarray(simulate_pruned(T, R, res2, jnp.asarray(eps),
+                                       with_gss=False))
+
+    def first_order_path():
+        x = jnp.zeros(T.shape[0])
+        out = []
+        for t in range(periods):
+            x = T @ x + R @ jnp.asarray(eps[t])
+            out.append(np.asarray(x))
+        return np.asarray(out)
+
+    path1 = first_order_path()
+    err1 = np.max(np.abs(path1[:, iK] + K_ss - K_exact))
+    err2 = np.max(np.abs(path2[:, iK] + K_ss - K_exact))
+    assert err2 < 0.25 * err1, (err1, err2)
+
+
+def test_irf_asymmetry_in_levels(bm):
+    """Second-order level IRFs are asymmetric in the shock sign (a pure
+    first-order IRF is exactly antisymmetric)."""
+    sol, res2 = bm.solve_model_second_order(loglin_variables=False,
+                                            shock_std=0.05)
+    T = jnp.asarray(sol.T.to_numpy())
+    R = jnp.asarray(sol.R.to_numpy())
+    up = np.asarray(irf_second_order(T, R, res2, jnp.array([0.1]), periods=20))
+    down = np.asarray(irf_second_order(T, R, res2, jnp.array([-0.1]), periods=20))
+    asym = np.max(np.abs(up + down))
+    assert asym > 1e-5          # genuinely asymmetric
+    assert np.all(np.isfinite(up)) and np.all(np.isfinite(down))
+
+
+def test_pruned_simulation_stays_bounded(bm):
+    """Pruning guarantee: second-order simulation cannot explode even with
+    large shocks where the unpruned quadratic recursion would."""
+    sol, res2 = bm.solve_model_second_order(shock_std=0.1)
+    T = jnp.asarray(sol.T.to_numpy())
+    R = jnp.asarray(sol.R.to_numpy())
+    rng = np.random.default_rng(7)
+    eps = 0.1 * rng.standard_normal((2000, 1))
+    path = np.asarray(simulate_pruned(T, R, res2, jnp.asarray(eps)))
+    assert np.all(np.isfinite(path))
+    assert np.max(np.abs(path)) < 10.0
+
+
+def test_uncertainty_correction_sign_rbc():
+    """In the RBC model the g_ss correction is nonzero and finite: second-
+    order means shift away from the deterministic steady state."""
+    model = geconpy_tpu.model_from_gcn(geconpy_tpu.get_example_gcn("rbc"),
+                                       verbose=False)
+    sol, res2 = model.solve_model_second_order(shock_std=0.05)
+    assert bool(res2.success)
+    g_ss = np.asarray(res2.g_ss)
+    assert np.all(np.isfinite(g_ss))
+    assert np.max(np.abs(g_ss)) > 1e-8
