@@ -122,6 +122,20 @@ ERROR_CASES = [
     ("err_duplicate_block.gcn", "E019"),
     ("err_ss_restriction.gcn", "E107"),
     ("err_missing_equals.gcn", "E005"),
+    ("err_expected_expression.gcn", "E004"),
+    ("err_missing_lhs.gcn", "E006"),
+    ("err_missing_rhs.gcn", "E007"),
+    ("err_missing_block_keyword.gcn", "E009"),
+    ("err_unknown_component.gcn", "E010"),
+    ("err_malformed_dist_arg.gcn", "E013"),
+    ("err_empty_objective.gcn", "E014"),
+    ("err_bad_multiplier.gcn", "E015"),
+    ("err_bad_tag.gcn", "E020"),
+    ("err_incomplete_problem.gcn", "E106"),
+    ("err_duplicate_control.gcn", "E109"),
+    ("err_shock_with_time_index.gcn", "E110"),
+    ("err_objective_not_variable.gcn", "E111"),
+    ("err_tryreduce_unknown.gcn", "E112"),
 ]
 
 
