@@ -3,13 +3,16 @@ from .perfect_foresight import PerfectForesightResult, solve_perfect_foresight
 from .simulate import (
     impulse_response,
     impulse_response_function,
+    impulse_response_second_order,
     simulate,
     simulate_linear,
+    simulate_second_order,
 )
 
 __all__ = [
     "DynarePrinter", "make_mod_file",
     "PerfectForesightResult", "solve_perfect_foresight",
     "impulse_response", "impulse_response_function", "simulate",
-    "simulate_linear",
+    "simulate_linear", "simulate_second_order",
+    "impulse_response_second_order",
 ]

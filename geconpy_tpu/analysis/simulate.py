@@ -14,7 +14,9 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
-__all__ = ["simulate_linear", "impulse_response", "simulate", "impulse_response_function"]
+__all__ = ["simulate_linear", "impulse_response", "simulate",
+           "impulse_response_function", "simulate_second_order",
+           "impulse_response_second_order"]
 
 
 def simulate_linear(T, R, shocks, x0=None):
@@ -147,6 +149,93 @@ def impulse_response_function(
         arr = np.asarray(jax.jit(
             lambda t, r: impulse_response(t, r, periods, jnp.asarray(sizes)))(T, R))
 
+    index = pd.MultiIndex.from_product([shock_names, range(periods)],
+                                       names=["shock", "time"])
+    return pd.DataFrame(arr.reshape(-1, arr.shape[-1]), index=index,
+                        columns=solution.T.columns)
+
+
+# ------------------------------------------------------- second order
+
+
+def simulate_second_order(
+    solution,
+    second_order,
+    periods: int = 40,
+    n_simulations: int = 100,
+    shock_std: float | dict | None = None,
+    shock_cov: np.ndarray | None = None,
+    seed: int = 0,
+) -> pd.DataFrame:
+    """Monte-carlo simulation of the pruned second-order solution.
+
+    ``second_order`` is the :class:`~geconpy_tpu.models.second_order
+    .SecondOrderResult` from ``Model.solve_model_second_order``.  Same
+    labeled output as :func:`simulate` — MultiIndex (simulation, time) over
+    variables, in hat coordinates (including the uncertainty correction, so
+    sample means sit at the stochastic steady state, not the deterministic
+    one).  Beyond reference parity: gEconpy simulates first order only.
+    """
+    from ..models.second_order import simulate_pruned
+
+    T = solution.T.to_numpy()
+    R = solution.R.to_numpy()
+    n_shocks = R.shape[1]
+    shock_names = list(solution.R.columns)
+
+    if shock_cov is None:
+        if shock_std is None:
+            stds = np.full(n_shocks, 0.01)
+        elif isinstance(shock_std, dict):
+            stds = np.array([float(shock_std.get(s, 0.01)) for s in shock_names])
+        else:
+            stds = np.full(n_shocks, float(shock_std))
+        chol = np.diag(stds)
+    else:
+        chol = np.linalg.cholesky(np.asarray(shock_cov))
+
+    key = jax.random.PRNGKey(seed)
+    draws = jax.random.normal(key, (n_simulations, periods, n_shocks),
+                              dtype=jnp.asarray(T).dtype)
+    eps = draws @ jnp.asarray(chol).T
+    paths = jax.jit(jax.vmap(
+        lambda e: simulate_pruned(T, R, second_order, e)))(eps)
+
+    arr = np.asarray(paths)
+    index = pd.MultiIndex.from_product(
+        [range(n_simulations), range(periods)], names=["simulation", "time"])
+    return pd.DataFrame(arr.reshape(-1, arr.shape[-1]), index=index,
+                        columns=solution.T.columns)
+
+
+def impulse_response_second_order(
+    solution,
+    second_order,
+    periods: int = 40,
+    shock_size: float | dict = 1.0,
+) -> pd.DataFrame:
+    """Labeled second-order IRFs (difference of pruned paths with and
+    without the impulse — sign- and size-dependent, unlike first order).
+    DataFrame with MultiIndex (shock, time) over variables."""
+    from ..models.second_order import irf_second_order
+
+    T = solution.T.to_numpy()
+    R = solution.R.to_numpy()
+    shock_names = list(solution.R.columns)
+    n_shocks = len(shock_names)
+    if isinstance(shock_size, dict):
+        sizes = np.array([float(shock_size.get(s, 1.0)) for s in shock_names])
+    else:
+        sizes = np.full(n_shocks, float(shock_size))
+
+    paths = []
+    for j in range(n_shocks):
+        vec = np.zeros(n_shocks)
+        vec[j] = sizes[j]
+        paths.append(np.asarray(jax.jit(
+            lambda v: irf_second_order(T, R, second_order, v, periods))(
+                jnp.asarray(vec))))
+    arr = np.stack(paths)
     index = pd.MultiIndex.from_product([shock_names, range(periods)],
                                        names=["shock", "time"])
     return pd.DataFrame(arr.reshape(-1, arr.shape[-1]), index=index,

@@ -229,3 +229,24 @@ def test_uncertainty_correction_sign_rbc():
     g_ss = np.asarray(res2.g_ss)
     assert np.all(np.isfinite(g_ss))
     assert np.max(np.abs(g_ss)) > 1e-8
+
+
+def test_labeled_second_order_wrappers(bm):
+    """analysis-layer labeled wrappers: shapes, labels, and consistency with
+    the raw pruned simulator."""
+    from geconpy_tpu.analysis import (impulse_response_second_order,
+                                      simulate_second_order)
+
+    sol, res2 = bm.solve_model_second_order(shock_std=0.02)
+    sims = simulate_second_order(sol, res2, periods=30, n_simulations=5,
+                                 shock_std=0.02, seed=1)
+    assert sims.index.names == ["simulation", "time"]
+    assert list(sims.columns) == list(sol.T.columns)
+    assert len(sims) == 150
+    assert np.all(np.isfinite(sims.to_numpy()))
+
+    irf = impulse_response_second_order(sol, res2, periods=12,
+                                        shock_size=0.05)
+    assert irf.index.names == ["shock", "time"]
+    # a positive technology impulse raises capital on impact
+    assert irf.loc[("epsilon", 0), "K"] > 0
