@@ -42,7 +42,8 @@ from ..codegen.model_functions import ModelFunctions
 from ..ops.precision import highest_precision
 
 __all__ = ["SecondOrderResult", "make_second_order_solver",
-           "solve_quadratic_sylvester", "simulate_pruned", "irf_second_order"]
+           "solve_quadratic_sylvester", "simulate_pruned",
+           "second_order_mean", "irf_second_order"]
 
 _ZERO_TOL = 1e-8
 
@@ -214,6 +215,32 @@ def simulate_pruned(T, R, res: SecondOrderResult, shocks,
 
     _, path = jax.lax.scan(step, (y1_0, y2_0), shocks)
     return path
+
+
+def second_order_mean(T, R, res: SecondOrderResult, Q):
+    """Exact unconditional mean of the pruned second-order system.
+
+    With y1 stationary (mean 0, covariance Sigma1 solving the first-order
+    Lyapunov equation) and E[eps eps'] = Q, taking expectations of the
+    pruned recursion gives
+
+        E[y2] = (I - T)^{-1} ( 1/2 G_xx : Sigma1 + 1/2 G_uu : Q + 1/2 g_ss )
+
+    (the G_xu cross term vanishes: y1_{t-1} is independent of eps_t).  This
+    is the stochastic-steady-state shift — zero at first order.  Validated
+    against long pruned simulations in tests/models/test_second_order.py.
+    """
+    from ..ops.lyapunov import solve_discrete_lyapunov
+
+    T = jnp.asarray(T)
+    R = jnp.asarray(R)
+    Q = jnp.asarray(Q, T.dtype)
+    Sigma1 = solve_discrete_lyapunov(T, R @ Q @ R.T)
+    drive = 0.5 * jnp.einsum("iab,ab->i", res.G_xx, Sigma1) \
+        + 0.5 * jnp.einsum("iab,ab->i", res.G_uu, Q) \
+        + 0.5 * res.g_ss
+    eye = jnp.eye(T.shape[0], dtype=T.dtype)
+    return jnp.linalg.solve(eye - T, drive)
 
 
 def irf_second_order(T, R, res: SecondOrderResult, shock_vec,

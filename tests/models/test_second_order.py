@@ -250,3 +250,32 @@ def test_labeled_second_order_wrappers(bm):
     assert irf.index.names == ["shock", "time"]
     # a positive technology impulse raises capital on impact
     assert irf.loc[("epsilon", 0), "K"] > 0
+
+
+def test_second_order_mean_matches_long_simulation(bm):
+    """Closed-form E[y2] = (I-T)^{-1}(.5 Gxx:Sigma1 + .5 Guu:Q + .5 g_ss)
+    against the empirical mean of a long pruned simulation."""
+    from geconpy_tpu.models.second_order import second_order_mean
+
+    sigma = 0.05
+    # level coordinates: Brock-Mirman's curvature is genuine there (in logs
+    # the model is exactly linear and the shift is zero by construction)
+    sol, res2 = bm.solve_model_second_order(loglin_variables=False,
+                                            shock_std=sigma)
+    T = jnp.asarray(sol.T.to_numpy())
+    R = jnp.asarray(sol.R.to_numpy())
+    Q = jnp.array([[sigma**2]])
+
+    mean_exact = np.asarray(second_order_mean(T, R, res2, Q))
+    # means are a genuine second-order effect (nonzero here)
+    assert np.max(np.abs(mean_exact)) > 1e-5
+
+    rng = np.random.default_rng(11)
+    periods = 400_000
+    eps = sigma * rng.standard_normal((periods, 1))
+    path = np.asarray(simulate_pruned(T, R, res2, jnp.asarray(eps)))
+    mean_mc = path[1000:].mean(axis=0)
+    se = path[1000:].std(axis=0) / np.sqrt((periods - 1000) / 50)  # ~AR corr
+    tol = np.maximum(4 * se, 5e-5)
+    assert np.all(np.abs(mean_mc - mean_exact) <= tol), \
+        (mean_mc, mean_exact, tol)
