@@ -281,6 +281,10 @@ def stationary_kalman_loglik(y, T, R, Q, Z, H, d=None, x0=None,
     S = Z @ PZt + H
     chol_S = jnp.linalg.cholesky(S)
     K = jax.scipy.linalg.cho_solve((chol_S, True), PZt.T).T
+    # one dense k x k inverse up front: the scan then does a matvec per step
+    # instead of a pair of triangular solves (sequential on TPU, and this
+    # scan is the per-draw hot loop under vmap at batch >= 512)
+    Sinv = jax.scipy.linalg.cho_solve((chol_S, True), jnp.eye(k, dtype=dtype))
     TK = T @ K
     M = T - TK @ Z
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol_S)))
@@ -288,8 +292,7 @@ def stationary_kalman_loglik(y, T, R, Q, Z, H, d=None, x0=None,
 
     def fast_step(x_pred, y_t):
         v = y_t - Z @ x_pred - d
-        w = jax.scipy.linalg.cho_solve((chol_S, True), v)
-        ll_t = const - 0.5 * (v @ w)
+        ll_t = const - 0.5 * (v @ (Sinv @ v))
         x_pred_next = M @ x_pred + TK @ (y_t - d)
         return x_pred_next, ll_t
 
@@ -353,6 +356,7 @@ def steady_state_kalman_loglik(y, T, R, Q, Z, H, d=None, x0=None, P0=None,
     F = Z @ P_pred @ Z.T + H
     chol_F = jnp.linalg.cholesky(F)
     K = jax.scipy.linalg.cho_solve((chol_F, True), (P_pred @ Z.T).T).T
+    Finv = jax.scipy.linalg.cho_solve((chol_F, True), jnp.eye(k, dtype=dtype))
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol_F)))
     const = -0.5 * (k * _LOG2PI + logdet)
     M = T - (T @ K) @ Z          # x_pred recursion matrix
@@ -360,8 +364,7 @@ def steady_state_kalman_loglik(y, T, R, Q, Z, H, d=None, x0=None, P0=None,
 
     def fast_step(x_pred, y_t):
         v = y_t - Z @ x_pred - d
-        w = jax.scipy.linalg.cho_solve((chol_F, True), v)
-        ll_t = const - 0.5 * (v @ w)
+        ll_t = const - 0.5 * (v @ (Finv @ v))
         x_pred_next = M @ x_pred + TK @ (y_t - d)
         return x_pred_next, ll_t
 
