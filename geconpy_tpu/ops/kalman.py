@@ -30,7 +30,8 @@ from .precision import highest_precision
 
 __all__ = ["KalmanFilterResult", "KalmanSmootherResult", "kalman_filter",
            "kalman_smoother", "kalman_loglik", "steady_state_kalman_loglik",
-           "steady_state_filter_parts"]
+           "steady_state_filter_parts", "stationary_kalman_loglik",
+           "stationary_loglik_from_P"]
 
 _LOG2PI = 1.8378770664093453
 
@@ -140,13 +141,26 @@ def kalman_loglik(y, T, R, Q, Z, H, d=None, x0=None, P0=None):
     return jnp.where(jnp.isfinite(ll), ll, -jnp.inf)
 
 
+def _spd_inverse(S):
+    """Inverse of a small SPD matrix by unrolled Gauss-Jordan (no pivoting —
+    SPD diagonal pivots are safe).  Batched Cholesky + triangular solves are
+    sequential-in-k on TPU; this is k static vectorized rank-1 updates, much
+    faster under vmap at k ~ 7, and differentiable (pure ops)."""
+    k = S.shape[-1]
+    A = jnp.concatenate([S, jnp.eye(k, dtype=S.dtype)], axis=-1)  # (k, 2k)
+    for i in range(k):
+        piv = A[i, :] / A[i, i]
+        A = A - A[:, i:i + 1] * piv[None, :]
+        A = A.at[i].set(piv)
+    return A[:, k:]
+
+
 def _dare_step(P, T, RQR, Z, H):
     """One predictive-form Riccati step:
     P⁺ = T P Tᵀ − T P Zᵀ S⁻¹ Z P Tᵀ + RQRᵀ with S = Z P Zᵀ + H."""
     PZt = P @ Z.T
     S = Z @ PZt + H
-    chol_S = jnp.linalg.cholesky(S)
-    K = jax.scipy.linalg.cho_solve((chol_S, True), PZt.T).T   # P Zᵀ S⁻¹
+    K = PZt @ _spd_inverse(S)                                 # P Zᵀ S⁻¹
     P_upd = P - K @ PZt.T
     P_next = T @ P_upd @ T.T + RQR
     return 0.5 * (P_next + P_next.T)
@@ -256,35 +270,50 @@ def stationary_kalman_loglik(y, T, R, Q, Z, H, d=None, x0=None,
     from .lyapunov import _doubling
 
     Ts, RQRs, Zs, Hs = (jax.lax.stop_gradient(m) for m in (T, RQR, Z, H))
-    n_riccati = min(n_settle, 8)
-
-    def one(P, _):
-        return _dare_step(P, Ts, RQRs, Zs, Hs), None
-
-    P, _ = jax.lax.scan(one, RQRs, None, length=n_riccati)
+    # Hewer's iteration is globally, monotonically, QUADRATICALLY convergent
+    # from any stabilizing gain (Hewer 1971).  K = 0 is stabilizing for the
+    # stable T this path gates on, and its closed-loop Lyapunov solution is
+    # exactly the unconditional covariance — so the schedule is one doubling
+    # Lyapunov solve followed by a handful of Hewer polishes, no Riccati
+    # warm-up scan at all.
+    P = _doubling(Ts, RQRs, 1e-14, 40)
 
     def hewer(P, _):
         PZt = P @ Zs.T
         S_h = Zs @ PZt + Hs
-        Kp = Ts @ jnp.linalg.solve(S_h, PZt.T).T      # predictive gain
+        Kp = Ts @ (PZt @ _spd_inverse(S_h))            # predictive gain
         A_cl = Ts - Kp @ Zs
         Qc = RQRs + Kp @ Hs @ Kp.T
-        P_new = _doubling(A_cl, 0.5 * (Qc + Qc.T), 1e-14, 40)
+        P_new = _doubling(A_cl, 0.5 * (Qc + Qc.T), 1e-14, 30)
         # guard: keep the previous iterate if the Lyapunov solve blew up
         ok = jnp.all(jnp.isfinite(P_new))
         return jnp.where(ok, 0.5 * (P_new + P_new.T), P), None
 
     P, _ = jax.lax.scan(hewer, P, None, length=4)
+    return stationary_loglik_from_P(y, T, RQR, Z, H, d, jnp.asarray(x0, dtype),
+                                    P)
+
+
+@highest_precision
+def stationary_loglik_from_P(y, T, RQR, Z, H, d, x0, P):
+    """Constant-gain log-likelihood given a (primal) DARE fixed point P.
+
+    Shared by the per-draw XLA settle above and the batched Pallas settle
+    (``ops/pallas_dare.py``): gradients re-attach here through the implicit
+    DARE adjoint, so the settle that produced P never needs a backward pass.
+    """
+    dtype = T.dtype
+    k = Z.shape[0]
     P = _implicit_dare_P(T, RQR, Z, H, P)
 
     PZt = P @ Z.T
     S = Z @ PZt + H
     chol_S = jnp.linalg.cholesky(S)
-    K = jax.scipy.linalg.cho_solve((chol_S, True), PZt.T).T
     # one dense k x k inverse up front: the scan then does a matvec per step
     # instead of a pair of triangular solves (sequential on TPU, and this
     # scan is the per-draw hot loop under vmap at batch >= 512)
-    Sinv = jax.scipy.linalg.cho_solve((chol_S, True), jnp.eye(k, dtype=dtype))
+    Sinv = _spd_inverse(S)
+    K = PZt @ Sinv
     TK = T @ K
     M = T - TK @ Z
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol_S)))

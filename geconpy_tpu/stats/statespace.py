@@ -804,7 +804,8 @@ class DSGEStateSpace:
 
     def build_batched_logpost(self, data: np.ndarray,
                               cr_tile: int = 128, cr_iters: int = 18,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              settle: str = "xla"):
         """DIFFERENTIABLE batched log-posterior ``f(U) -> (B,)``.
 
         The forward pass runs the lane-batched Pallas cycle-reduction kernel
@@ -813,17 +814,34 @@ class DSGEStateSpace:
         ``jax.grad``/``jax.vjp`` work and NUTS chains can run their
         value+grad hot loop on the same kernels as the prior sweeps.
 
-        The Kalman likelihood uses the configured XLA filter (differentiated
-        by autodiff), identical math to :meth:`build_logpost`; the two paths
-        agree in both value and gradient (see tests/stats/test_pallas_grad.py).
+        With ``filter_type="stationary"``, ``settle="pallas"`` runs the
+        primal DARE settle as a lane-batched Pallas kernel
+        (``ops/pallas_dare.py``) — gradients re-attach at the fixed point
+        through the implicit DARE adjoint, so the kernel needs no backward
+        pass.  Measured on SW-2007 at batch 512 the kernel is at PARITY with
+        the default ``settle="xla"`` Hewer settle (the settle is
+        matmul-bound, which XLA already batches onto the MXU; lane layout
+        only wins over sequential per-element ops like LU pivoting), so XLA
+        is the default.
+
+        The Kalman likelihood is otherwise the configured XLA filter
+        (differentiated by autodiff), identical math to
+        :meth:`build_logpost`; the paths agree in value and gradient (see
+        tests/stats/test_pallas_grad.py).
         """
         if self.solver != "cycle_reduction":
             raise ValueError("build_batched_logpost requires "
                              "solver='cycle_reduction'")
+        if settle not in ("pallas", "xla"):
+            raise ValueError(f"settle must be 'pallas' or 'xla', got {settle!r}")
         y, _loglik = self._data_and_loglik(data)
         pre_policy, _, post_policy = self._solution_pieces()
         solve_batch = self._build_pallas_policy_batch_diff(
             cr_tile, cr_iters, interpret)
+
+        use_pallas_dare = (settle == "pallas"
+                           and getattr(self, "filter_type", "") == "stationary"
+                           and not bool(np.isnan(data).any()))
 
         @highest_precision
         def per_draw_ll(sol):
@@ -835,6 +853,38 @@ class DSGEStateSpace:
                 & jnp.isfinite(loglik) & jnp.isfinite(logprior)
             return jnp.where(ok, loglik + logprior,
                              jnp.asarray(-jnp.inf, dtype))
+
+        if use_pallas_dare:
+            from ..ops.kalman import stationary_loglik_from_P
+            from ..ops.pallas_dare import pallas_dare_settle
+
+            @highest_precision
+            def per_draw_ll_P(sol, RQR, P):
+                dtype = sol["T_aug"].dtype
+                n = sol["T_aug"].shape[0]
+                loglik = stationary_loglik_from_P(
+                    y.astype(dtype), sol["T_aug"], RQR, sol["Z"], sol["H"],
+                    sol["d"], jnp.zeros((n,), dtype), P)
+                logprior = sol["logprior"]
+                ok = sol["ss_success"] & sol["solver_success"] \
+                    & sol["stable"] & jnp.isfinite(loglik) \
+                    & jnp.isfinite(logprior)
+                return jnp.where(ok, loglik + logprior,
+                                 jnp.asarray(-jnp.inf, dtype))
+
+            def batched(U):
+                pre = jax.vmap(pre_policy)(U)
+                T, R, ok = solve_batch(pre)
+                sol = jax.vmap(post_policy)(pre, T, R, ok)
+                RQR = jax.vmap(lambda r, q: r @ q @ r.T)(sol["R_aug"],
+                                                         sol["Q"])
+                sg = jax.lax.stop_gradient
+                P_b = pallas_dare_settle(sg(sol["T_aug"]), sg(RQR),
+                                         sg(sol["Z"]), sg(sol["H"]),
+                                         tile=cr_tile, interpret=interpret)
+                return jax.vmap(per_draw_ll_P)(sol, RQR, P_b)
+
+            return batched
 
         def batched(U):
             pre = jax.vmap(pre_policy)(U)

@@ -86,3 +86,24 @@ def test_nuts_runs_on_pallas_logp_grad():
     # chains actually moved
     assert float(np.abs(np.asarray(res.samples[:, -1]) -
                         np.asarray(inits)).max()) > 1e-4
+
+
+def test_stationary_pallas_settle_matches_xla_settle():
+    """settle='pallas' (lane-batched DARE kernel, primal-only) must agree
+    with the default XLA Hewer settle in value and gradient — the implicit
+    DARE adjoint re-attaches at whichever fixed point the settle produced."""
+    ss, data, u0 = _setup("rbc_estimation", ["Y"], ["alpha", "sigma_C"],
+                          filter_type="stationary")
+    batch = u0[None, :] + 0.05 * jax.random.normal(
+        jax.random.PRNGKey(9), (4, u0.shape[0]), dtype=u0.dtype)
+
+    vag_x = jax.jit(ss.build_batched_logpost_and_grad(
+        data, interpret=True, cr_tile=8, settle="xla"))
+    vag_p = jax.jit(ss.build_batched_logpost_and_grad(
+        data, interpret=True, cr_tile=8, settle="pallas"))
+    vx, gx = vag_x(batch)
+    vp, gp = vag_p(batch)
+    np.testing.assert_allclose(np.asarray(vp), np.asarray(vx),
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                               rtol=1e-6, atol=1e-6)
