@@ -43,7 +43,7 @@ from ..ops.precision import highest_precision
 
 __all__ = ["SecondOrderResult", "make_second_order_solver",
            "solve_quadratic_sylvester", "simulate_pruned",
-           "second_order_mean", "irf_second_order"]
+           "second_order_mean", "irf_second_order", "generalized_irf"]
 
 _ZERO_TOL = 1e-8
 
@@ -255,3 +255,35 @@ def irf_second_order(T, R, res: SecondOrderResult, shock_vec,
     base = simulate_pruned(T, R, res, shocks, with_gss=False)
     hit = simulate_pruned(T, R, res, shocks_hit, with_gss=False)
     return hit - base
+
+
+def generalized_irf(T, R, res: SecondOrderResult, shock_vec, Q,
+                    periods: int = 40, n_draws: int = 256,
+                    key=None, x0=None):
+    """Generalized IRF (Koop-Pesaran-Potter 1996) for the pruned system.
+
+    In a nonlinear model the impulse response depends on the state and on
+    future shocks; the GIRF is  E[y | eps_0 = e + shock, history] −
+    E[y | eps_0 = e, history],  estimated by Monte-Carlo over future shock
+    paths (antithetic pairs share the same draws, so the difference is
+    exact in the common terms).  ``x0`` optionally sets the initial
+    first-order state (the GIRF is state-dependent at second order).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    T = jnp.asarray(T)
+    R = jnp.asarray(R)
+    n = T.shape[0]
+    k = R.shape[1]
+    chol = jnp.linalg.cholesky(jnp.asarray(Q, T.dtype))
+    x0 = jnp.zeros((n,), T.dtype) if x0 is None else jnp.asarray(x0)
+
+    eps = jax.random.normal(key, (n_draws, periods, k), T.dtype) @ chol.T
+    eps_hit = eps.at[:, 0, :].add(jnp.asarray(shock_vec, T.dtype))
+
+    def one(e):
+        return simulate_pruned(T, R, res, e, y1_0=x0, with_gss=False)
+
+    base = jax.vmap(one)(eps)
+    hit = jax.vmap(one)(eps_hit)
+    return jnp.mean(hit - base, axis=0)

@@ -279,3 +279,42 @@ def test_second_order_mean_matches_long_simulation(bm):
     tol = np.maximum(4 * se, 5e-5)
     assert np.all(np.abs(mean_mc - mean_exact) <= tol), \
         (mean_mc, mean_exact, tol)
+
+
+def test_generalized_irf_reduces_to_deterministic_at_first_order(bm):
+    """With all quadratic blocks zero (Brock-Mirman in logs) the GIRF is
+    state- and shock-path-independent and equals the deterministic IRF."""
+    from geconpy_tpu.models.second_order import generalized_irf
+
+    sol, res2 = bm.solve_model_second_order(shock_std=0.02)
+    T = jnp.asarray(sol.T.to_numpy())
+    R = jnp.asarray(sol.R.to_numpy())
+    Q = jnp.array([[0.02**2]])
+    det = irf_second_order(T, R, res2, jnp.array([0.05]), periods=15)
+    girf = generalized_irf(T, R, res2, jnp.array([0.05]), Q, periods=15,
+                           n_draws=16)
+    np.testing.assert_allclose(np.asarray(girf), np.asarray(det), atol=1e-7)
+
+
+def test_generalized_irf_state_dependent_in_levels(bm):
+    """At second order in levels the response depends on the initial state
+    (concavity of the policy): GIRF from a high-capital state differs from
+    the steady-state GIRF."""
+    from geconpy_tpu.models.second_order import generalized_irf
+
+    sol, res2 = bm.solve_model_second_order(loglin_variables=False,
+                                            shock_std=0.02)
+    names = list(sol.T.index)
+    iK = names.index("K")
+    T = jnp.asarray(sol.T.to_numpy())
+    R = jnp.asarray(sol.R.to_numpy())
+    Q = jnp.array([[0.02**2]])
+    shock = jnp.array([0.1])
+
+    girf_ss = generalized_irf(T, R, res2, shock, Q, periods=10, n_draws=64)
+    x_hi = jnp.zeros(T.shape[0]).at[iK].set(0.05)
+    girf_hi = generalized_irf(T, R, res2, shock, Q, periods=10, n_draws=64,
+                              x0=x_hi)
+    diff = np.max(np.abs(np.asarray(girf_hi[:, iK] - girf_ss[:, iK])))
+    assert diff > 1e-5
+    assert np.all(np.isfinite(np.asarray(girf_hi)))
