@@ -8,7 +8,8 @@ from geconpy_tpu import get_example_gcn, model_from_gcn
 ALL_MODELS = ["rbc", "rbc_no_ss", "rbc_estimation", "nk_3eq", "nk_full",
               "nk_sw", "rbc_two_agent", "open_rbc", "rbc_ces", "baxter_king",
               "rbc_skilled_unskilled", "rbc_tank", "nk_money_growth",
-              "nk_taxes", "nk_calvo", "sw2007"]
+              "nk_taxes", "nk_calvo", "sw2007", "brock_mirman",
+              "nk_rotemberg", "rbc_iac"]
 
 # cycle reduction needs a nonsingular reduced B pencil; rbc_tank's
 # aggregation identities violate that, so it solves via gensys only

@@ -215,3 +215,46 @@ def test_sw2007_estimation_wiring(sw2007):
     assert np.isfinite(float(extras.logpost)), extras
     g = jax.jit(jax.grad(ss.build_logpost(data)))(u)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_rotemberg_monetary_shock_signs():
+    """Expansionary monetary shock (rate cut) raises output and inflation;
+    technology shock raises output and lowers inflation."""
+    import geconpy_tpu
+
+    m = geconpy_tpu.model_from_gcn(geconpy_tpu.get_example_gcn("nk_rotemberg"),
+                                   verbose=False)
+    sol = m.solve_model(verbose=False)
+    assert sol.success
+    irf = geconpy_tpu.impulse_response_function(
+        sol, periods=8, shock_size={"eps_m": 0.0025, "eps_A": 0.01})
+    assert irf.loc[("eps_m", 0), "Y"] > 0
+    assert irf.loc[("eps_m", 0), "pi"] > 0
+    assert irf.loc[("eps_A", 0), "Y"] > 0
+    assert irf.loc[("eps_A", 0), "pi"] < 0
+
+
+def test_investment_adjustment_costs_hump():
+    """CEE-style adjustment costs: investment builds gradually (hump) and
+    Tobin's q moves above steady state on a positive technology shock; the
+    frictionless RBC jumps on impact instead."""
+    import geconpy_tpu
+    import numpy as np
+
+    m = geconpy_tpu.model_from_gcn(geconpy_tpu.get_example_gcn("rbc_iac"),
+                                   verbose=False)
+    sol = m.solve_model(verbose=False)
+    assert sol.success
+    irf = geconpy_tpu.impulse_response_function(
+        sol, periods=16, shock_size={"epsilon_A": 0.01})
+    I_path = np.asarray(irf.xs("epsilon_A")["I"])
+    assert I_path[2] > I_path[0] > 0            # hump shape
+    assert abs(irf.loc[("epsilon_A", 0), "q"]) > 1e-5
+
+    frictionless = geconpy_tpu.model_from_gcn(
+        geconpy_tpu.get_example_gcn("rbc"), verbose=False).solve_model(
+            verbose=False)
+    irf0 = geconpy_tpu.impulse_response_function(
+        frictionless, periods=16, shock_size={"epsilon_A": 0.01})
+    I0 = np.asarray(irf0.xs("epsilon_A")["I"])
+    assert I0[0] > I0[2]                        # no hump without the cost
