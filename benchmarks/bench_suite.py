@@ -149,6 +149,28 @@ class TimeLoglik:
         jax.block_until_ready(self.fn(self.u))
 
 
+class TimeSecondOrder:
+    params = ["rbc", "nk_full"]
+    param_names = ["model"]
+
+    def setup(self, model_name):
+        import geconpy_tpu
+
+        self.model = geconpy_tpu.model_from_gcn(
+            geconpy_tpu.get_example_gcn(model_name), verbose=False)
+        self.sol = self.model.solve_model(verbose=False)
+        # warm call compiles the Hessian + quadratic-Sylvester path
+        self.model.solve_model_second_order(solution=self.sol,
+                                            shock_std=0.01)
+
+    def time_second_order(self, model_name):
+        _, res2 = self.model.solve_model_second_order(solution=self.sol,
+                                                      shock_std=0.01)
+        import jax
+
+        jax.block_until_ready(res2.G_xx)
+
+
 class TimePerfectForesight:
     params = ["rbc"]
     param_names = ["model"]
@@ -173,7 +195,7 @@ class TimePerfectForesight:
 def main():
     rows = []
     for cls in [TimeParse, TimeBuild, TimeSteadyState, TimeSolve, TimeLoglik,
-                TimePerfectForesight]:
+                TimeSecondOrder, TimePerfectForesight]:
         params = cls.params
         if isinstance(params[0], (list, tuple)):
             combos = [(m, s) for m in params[0] for s in params[1]]
