@@ -31,7 +31,8 @@ from .precision import highest_precision
 __all__ = ["KalmanFilterResult", "KalmanSmootherResult", "kalman_filter",
            "kalman_smoother", "kalman_loglik", "steady_state_kalman_loglik",
            "steady_state_filter_parts", "stationary_kalman_loglik",
-           "stationary_loglik_from_P"]
+           "stationary_loglik_from_P", "disturbance_smoother",
+           "DisturbanceSmootherResult"]
 
 _LOG2PI = 1.8378770664093453
 
@@ -450,6 +451,81 @@ def steady_state_filter_parts(y_head, T, R, Q, Z, H, d=None, x0=None,
     M = T - (T @ K) @ Z
     TK = T @ K
     return jnp.sum(ll_head), T @ x_filt, M, TK, Finv, const
+
+
+class DisturbanceSmootherResult(NamedTuple):
+    shocks: jax.Array        # (periods, n_shocks) smoothed structural shocks
+    obs_noise: jax.Array     # (periods, k_obs) smoothed measurement errors
+    smoothed_mean: jax.Array  # (periods, n) E[x_t | y_{1:T}]
+
+
+@highest_precision
+def disturbance_smoother(y, T, R, Q, Z, H, d=None, x0=None, P0=None
+                         ) -> DisturbanceSmootherResult:
+    """Durbin-Koopman disturbance smoother (one forward filter + one
+    backward ``lax.scan``).
+
+    Returns smoothed structural shocks ``e_t`` and measurement errors
+    ``u_t`` satisfying the exact reconstruction identities
+
+        x_t^s = T x_{t-1}^s + R e_t^s        (t >= 1)
+        y_t   = Z x_t^s + d + u_t^s          (observed entries)
+
+    which is what makes exact historical shock decompositions possible
+    (``stats/posterior.py::historical_shock_decomposition``).  Missing
+    observations (NaN) are masked exactly as in :func:`kalman_filter`.
+    Beyond reference parity: gEconpy has no disturbance smoother.
+    """
+    y = jnp.asarray(y)
+    T = jnp.asarray(T)
+    R = jnp.asarray(R)
+    dtype = T.dtype
+    Q = jnp.asarray(Q, dtype)
+    Z = jnp.asarray(Z, dtype)
+    H = jnp.asarray(H, dtype)
+    n = T.shape[0]
+    k = Z.shape[0]
+    if d is None:
+        d = jnp.zeros((k,), dtype)
+    if x0 is None:
+        x0 = jnp.zeros((n,), dtype)
+    if P0 is None:
+        from .lyapunov import solve_discrete_lyapunov
+
+        P0 = solve_discrete_lyapunov(T, R @ Q @ R.T)
+
+    res = kalman_filter(y, T, R, Q, Z, H, d, x0, P0)
+
+    def backward(r, inputs):
+        y_t, x_pred, P_pred = inputs
+        mask = jnp.isfinite(y_t)
+        maskf = mask.astype(dtype)
+        y_eff = jnp.where(mask, y_t, 0.0)
+        Z_eff = Z * maskf[:, None]
+        d_eff = d * maskf
+        H_eff = H * jnp.outer(maskf, maskf) + jnp.diag(1.0 - maskf)
+
+        v = y_eff - Z_eff @ x_pred - d_eff
+        F = Z_eff @ P_pred @ Z_eff.T + H_eff
+        Finv = _spd_inverse(F)
+        Fv = Finv @ v
+        K_pred = T @ P_pred @ Z_eff.T @ Finv           # predictive gain
+        L = T - K_pred @ Z_eff
+        # r_{t-1} = Z' F^-1 v_t + L' r_t (DK 4.38); in the convention
+        # x_t = T x_{t-1} + R e_t the shock e_t corresponds to DK's
+        # eta_{t-1}, so e_t^s = Q R' r_{t-1}, while the measurement error
+        # uses the future carry r_t (DK 4.69)
+        r_prev = Z_eff.T @ Fv + L.T @ r
+        e_t = Q @ R.T @ r_prev
+        u_t = H_eff @ (Fv - K_pred.T @ r) * maskf
+        x_s = x_pred + P_pred @ r_prev
+        return r_prev, (e_t, u_t, x_s)
+
+    r_end = jnp.zeros((n,), dtype)
+    _, (eps, obs_noise, x_smooth) = jax.lax.scan(
+        backward, r_end,
+        (y, res.predicted_mean, res.predicted_cov), reverse=True)
+    return DisturbanceSmootherResult(eps, obs_noise, x_smooth)
 
 
 @highest_precision

@@ -27,6 +27,7 @@ __all__ = [
     "posterior_fevd",
     "posterior_smoothed_states",
     "posterior_diagnostics",
+    "historical_shock_decomposition",
     "prepare_mixed_frequency_data",
 ]
 
@@ -147,6 +148,73 @@ def posterior_smoothed_states(ss_mod: DSGEStateSpace, result: PosteriorResult,
     out["mean"] = flat.mean(axis=1)
     for q in quantiles:
         out[f"q{q}"] = np.quantile(flat, q, axis=1)
+    return out
+
+
+def historical_shock_decomposition(ss_mod: DSGEStateSpace,
+                                   result: PosteriorResult,
+                                   data: np.ndarray,
+                                   max_draws: int | None = 200) -> pd.DataFrame:
+    """Historical decomposition: attribute every smoothed state path to the
+    structural shocks driving it.
+
+    Per posterior draw, the Durbin-Koopman disturbance smoother
+    (``ops/kalman.py::disturbance_smoother``) extracts smoothed shocks
+    ``e_t`` satisfying the exact identity ``x_t^s = T x_{t-1}^s + R e_t^s``;
+    replaying the transition with one shock at a time splits the path into
+    per-shock contributions plus an initial-condition component that sum
+    EXACTLY to the smoothed states.  Averaged over draws.
+
+    Returns a DataFrame indexed by (time, variable) with one column per
+    shock, an ``initial`` column, and the ``smoothed`` total.  This is the
+    Dynare ``shock_decomposition`` / gEcon-R equivalent; the reference
+    (gEconpy) has no counterpart.
+    """
+    from ..ops.kalman import disturbance_smoother
+
+    solve_draw = ss_mod.build_solution_fn(full_state=True)
+    mf = ss_mod.model.functions
+    y = jnp.asarray(data)
+    n = mf.n_variables
+    k_shocks = len(mf.shock_names)
+
+    def one_draw(u):
+        sol = solve_draw(u)
+        T, R = sol["T_aug"], sol["R_aug"]
+        dsm = disturbance_smoother(y, T, R, sol["Q"], sol["Z"], sol["H"],
+                                   d=sol["d"])
+        eps = dsm.shocks                                  # (periods, k)
+        x_s = dsm.smoothed_mean
+
+        def replay(eps_j):
+            def step(x, e):
+                x_new = T @ x + R @ e
+                return x_new, x_new
+
+            _, path = jax.lax.scan(step, jnp.zeros_like(x_s[0]), eps_j)
+            return path
+
+        # per-shock contributions: replay with the other shocks zeroed
+        eye = jnp.eye(k_shocks, dtype=eps.dtype)
+        contribs = jax.vmap(lambda m: replay(eps * m[None, :]))(eye)
+        # initial condition: whatever the shocks don't explain
+        initial = x_s - contribs.sum(axis=0)
+        return contribs[:, :, :n], initial[:, :n], x_s[:, :n]
+
+    us = _flat_draws(result, max_draws)
+    contribs, initial, smoothed = jax.jit(jax.vmap(one_draw))(us)
+    contribs = np.asarray(contribs).mean(axis=0)          # (k, t, n)
+    initial = np.asarray(initial).mean(axis=0)            # (t, n)
+    smoothed = np.asarray(smoothed).mean(axis=0)
+
+    periods = smoothed.shape[0]
+    index = pd.MultiIndex.from_product(
+        [range(periods), mf.variable_names], names=["time", "variable"])
+    out = pd.DataFrame(index=index)
+    for j, name in enumerate(mf.shock_names):
+        out[name] = contribs[j].reshape(-1)
+    out["initial"] = initial.reshape(-1)
+    out["smoothed"] = smoothed.reshape(-1)
     return out
 
 

@@ -212,3 +212,24 @@ def test_prior_predictive_sweep_sharded(configured):
     assert (out["std"]["mean"] > 0).all()
     # technology IRF on output positive across the prior
     assert out["irf"].loc[("epsilon_A", "Y", 0), "q0.05"] > 0
+
+
+def test_historical_shock_decomposition(configured):
+    from geconpy_tpu.stats.posterior import historical_shock_decomposition
+
+    data, _ = configured.data_from_prior(jax.random.PRNGKey(5), periods=60)
+    res = _fake_posterior(configured, n=4)
+    dec = historical_shock_decomposition(configured, res, np.asarray(data),
+                                         max_draws=None)
+    assert dec.index.names == ["time", "variable"]
+    shocks = [c for c in dec.columns if c not in ("initial", "smoothed")]
+    assert shocks == ["epsilon_A"]
+    # exact additivity: contributions + initial == smoothed
+    total = dec[shocks].sum(axis=1) + dec["initial"]
+    np.testing.assert_allclose(total.values, dec["smoothed"].values,
+                               atol=1e-8)
+    # the technology shock drives most of the smoothed output variation
+    y_dec = dec.xs("Y", level="variable")
+    var_shock = np.var(y_dec["epsilon_A"].values)
+    var_init = np.var(y_dec["initial"].values)
+    assert var_shock > var_init
