@@ -29,6 +29,7 @@ __all__ = [
     "plot_estimated_matrix",
     "plot_eigenvalue_sensitivity",
     "plot_perfect_foresight",
+    "plot_shock_decomposition",
 ]
 
 
@@ -494,5 +495,49 @@ def plot_perfect_foresight(result, variables=None, n_cols: int = 3):
         ax.plot(traj.index, traj[var], lw=1.3)
         ax.axhline(traj[var].iloc[-1], color="k", lw=0.6, ls=":")
         ax.set_title(var)
+    fig.tight_layout()
+    return fig
+
+
+def plot_shock_decomposition(decomposition_df, variables=None,
+                             n_cols: int = 2):
+    """Stacked-bar historical shock decomposition (the classic Dynare
+    ``shock_decomposition`` panel; no reference counterpart).
+
+    ``decomposition_df`` comes from
+    :func:`geconpy_tpu.stats.posterior.historical_shock_decomposition`:
+    indexed (time, variable) with one column per shock plus ``initial`` and
+    ``smoothed``.  Per variable, positive and negative contributions stack
+    above/below zero and the smoothed total overlays as a line.
+    """
+    plt = _plt()
+    all_vars = decomposition_df.index.get_level_values("variable").unique()
+    variables = list(variables) if variables is not None else list(all_vars)
+    shock_cols = [c for c in decomposition_df.columns
+                  if c not in ("smoothed",)]
+
+    fig, axes = prepare_gridspec_figure(len(variables), n_cols, sharex=True)
+    cmap = plt.get_cmap("tab10")
+    for ax, var in zip(axes, variables):
+        block = decomposition_df.xs(var, level="variable")
+        t = np.asarray(block.index)
+        pos_base = np.zeros(len(t))
+        neg_base = np.zeros(len(t))
+        for j, col in enumerate(shock_cols):
+            vals = block[col].to_numpy()
+            pos = np.where(vals > 0, vals, 0.0)
+            neg = np.where(vals < 0, vals, 0.0)
+            color = cmap(j % 10)
+            ax.bar(t, pos, bottom=pos_base, width=1.0, color=color,
+                   label=col, linewidth=0)
+            ax.bar(t, neg, bottom=neg_base, width=1.0, color=color,
+                   linewidth=0)
+            pos_base = pos_base + pos
+            neg_base = neg_base + neg
+        ax.plot(t, block["smoothed"].to_numpy(), color="black", lw=1.2,
+                label="smoothed")
+        ax.axhline(0.0, color="black", lw=0.5)
+        ax.set_title(var)
+    axes[0].legend(fontsize=7, ncol=2)
     fig.tight_layout()
     return fig

@@ -210,3 +210,37 @@ def test_plot_simulation_spaghetti(solution):
     visible = [ax for ax in fig.axes if ax.get_visible()]
     # 5 spaghetti + 1 mean line
     assert len(visible[0].lines) >= 6
+
+
+def test_plot_shock_decomposition_smoke():
+    import matplotlib
+    matplotlib.use("Agg")
+    import numpy as np
+    import pandas as pd
+
+    from geconpy_tpu.analysis.plotting import plot_shock_decomposition
+
+    t = 16
+    idx = pd.MultiIndex.from_product([range(t), ["Y", "C", "K"]],
+                                     names=["time", "variable"])
+    rng = np.random.default_rng(1)
+    df = pd.DataFrame({"eps_A": rng.normal(size=3 * t),
+                       "eps_m": rng.normal(size=3 * t),
+                       "initial": 0.1 * rng.normal(size=3 * t)}, index=idx)
+    df["smoothed"] = df[["eps_A", "eps_m", "initial"]].sum(axis=1)
+
+    fig = plot_shock_decomposition(df)
+    import matplotlib.pyplot as plt
+
+    visible = [a for a in fig.axes if a.get_visible()]
+    assert len(visible) == 3
+    ax0 = visible[0]
+    # 3 stacked series x (positive + negative) bar containers + overlay line
+    assert len(ax0.containers) == 6
+    assert len(ax0.lines) >= 1
+    assert ax0.get_legend() is not None
+    plt.close(fig)
+
+    fig2 = plot_shock_decomposition(df, variables=["Y"])
+    assert len([a for a in fig2.axes if a.get_visible()]) == 1
+    plt.close(fig2)
