@@ -9,6 +9,12 @@ from .covariance import (
 )
 from .diagnostics import effective_sample_size, split_rhat, summarize_chains
 from .estimation import PosteriorResult, fit
+from .model_comparison import (
+    find_map,
+    laplace_evidence,
+    marginal_likelihood,
+    modified_harmonic_mean,
+)
 from .nuts import NUTSResult, nuts_kernel, sample_nuts
 from .perturbation_diagnostics import (
     eigenvalue_sensitivity,

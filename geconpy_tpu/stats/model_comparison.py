@@ -1,0 +1,163 @@
+"""Marginal data density (model evidence) estimators.
+
+Standard Bayesian DSGE model comparison (Dynare's ``model_comparison`` /
+marginal-density machinery; no counterpart in the reference gEconpy):
+
+- **Laplace approximation** at the posterior mode:
+  log p(y) ~= log p(y, theta*) + d/2 log(2 pi) - 1/2 log |-H(theta*)|,
+  with the mode found by jitted Adam + Newton polish and the Hessian by
+  ``jax.hessian`` on the unconstrained log posterior (exact, not finite
+  differences).
+- **Modified harmonic mean** (Geweke 1999) over posterior draws:
+  1 / p(y) = E_post[ f(theta) / p(y, theta) ]  for any density f inside the
+  posterior support; f is the fitted Gaussian truncated to its central
+  ``tau`` probability ellipsoid, which keeps the estimator's variance
+  finite.
+
+Both operate in the sampler's unconstrained parameterization, so the prior
+transform Jacobians are already inside the log posterior and no extra
+bookkeeping is needed.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.precision import highest_precision
+
+__all__ = ["find_map", "laplace_evidence", "modified_harmonic_mean",
+           "marginal_likelihood"]
+
+_LOG2PI = 1.8378770664093453
+
+
+def find_map(logpost_fn, u0, adam_steps: int = 500, newton_steps: int = 5,
+             learning_rate: float = 0.02):
+    """Posterior mode in unconstrained space: Adam to the basin, Newton to
+    machine precision.  Newton steps that do not improve the log posterior
+    (indefinite Hessian far from the mode) are rejected."""
+    u0 = jnp.asarray(u0)
+    value_and_grad = jax.value_and_grad(lambda u: -logpost_fn(u))
+
+    @jax.jit
+    def adam(u):
+        def step(carry, i):
+            u, m, v = carry
+            _, g = value_and_grad(u)
+            g = jnp.where(jnp.isfinite(g), g, 0.0)
+            m = 0.9 * m + 0.1 * g
+            v = 0.999 * v + 0.001 * g * g
+            mhat = m / (1 - 0.9 ** (i + 1))
+            vhat = v / (1 - 0.999 ** (i + 1))
+            u = u - learning_rate * mhat / (jnp.sqrt(vhat) + 1e-8)
+            return (u, m, v), None
+
+        (u, _, _), _ = jax.lax.scan(
+            step, (u, jnp.zeros_like(u), jnp.zeros_like(u)),
+            jnp.arange(adam_steps))
+        return u
+
+    @jax.jit
+    @highest_precision
+    def newton(u):
+        def step(u, _):
+            f, g = value_and_grad(u)
+            H = jax.hessian(lambda x: -logpost_fn(x))(u)
+            delta = jnp.linalg.solve(H, g)
+            u_new = u - delta
+            f_new, _ = value_and_grad(u_new)
+            better = jnp.isfinite(f_new) & (f_new <= f) \
+                & jnp.all(jnp.isfinite(u_new))
+            return jnp.where(better, u_new, u), None
+
+        u, _ = jax.lax.scan(step, u, None, length=newton_steps)
+        return u
+
+    return newton(adam(u0))
+
+
+def laplace_evidence(logpost_fn, u_mode) -> float:
+    """log p(y) by Laplace approximation at the (unconstrained) mode."""
+    u_mode = jnp.asarray(u_mode)
+    d = u_mode.shape[0]
+    H = jax.jit(jax.hessian(lambda u: -logpost_fn(u)))(u_mode)
+    sign, logdet = jnp.linalg.slogdet(H)
+    logp = logpost_fn(u_mode)
+    out = float(logp + 0.5 * d * _LOG2PI - 0.5 * logdet)
+    if float(sign) <= 0:
+        return float("nan")
+    return out
+
+
+def modified_harmonic_mean(unconstrained, logp, tau: float = 0.5) -> float:
+    """Geweke's modified-harmonic-mean log evidence from posterior draws.
+
+    Parameters
+    ----------
+    unconstrained
+        (draws, dim) or (chains, draws, dim) posterior sample in the
+        unconstrained space.
+    logp
+        matching log-posterior values (UN-normalized, i.e. log p(y, theta)
+        up to the constant the sampler used — which is exactly what
+        ``PosteriorResult.logp`` stores).
+    tau
+        probability content of the Gaussian truncation ellipsoid.
+    """
+    from scipy.stats import chi2
+
+    u = np.asarray(unconstrained, dtype=np.float64).reshape(
+        -1, np.shape(unconstrained)[-1])
+    lp = np.asarray(logp, dtype=np.float64).reshape(-1)
+    finite = np.isfinite(lp)
+    u, lp = u[finite], lp[finite]
+    n, d = u.shape
+
+    mu = u.mean(axis=0)
+    S = np.cov(u.T, ddof=1).reshape(d, d)
+    Sinv = np.linalg.inv(S)
+    _, logdetS = np.linalg.slogdet(S)
+
+    delta = u - mu
+    quad = np.einsum("ij,jk,ik->i", delta, Sinv, delta)
+    thresh = chi2.ppf(tau, df=d)
+    inside = quad <= thresh
+
+    # log f(theta): truncated multivariate normal, renormalized by tau
+    log_f = -0.5 * (d * _LOG2PI + logdetS + quad) - np.log(tau)
+    # 1/p(y) = mean over draws of exp(log f - logp) restricted to the
+    # ellipsoid; log-sum-exp for stability
+    w = log_f[inside] - lp[inside]
+    if w.size == 0:
+        return float("nan")
+    m = w.max()
+    log_inv_evidence = m + np.log(np.exp(w - m).sum()) - np.log(n)
+    return float(-log_inv_evidence)
+
+
+def marginal_likelihood(ss_mod, data, result=None, method: str = "laplace",
+                        **kwargs) -> float:
+    """Log marginal data density for a configured DSGEStateSpace.
+
+    ``method="laplace"`` needs no posterior sample (mode search from the
+    prior initial position, or from the posterior mean when ``result`` is
+    given); ``method="harmonic"`` needs ``result`` from ``fit``.
+    """
+    logpost = ss_mod.build_logpost(np.asarray(data))
+    if method == "laplace":
+        if result is not None:
+            u0 = jnp.asarray(
+                np.asarray(result.unconstrained).reshape(
+                    -1, np.shape(result.unconstrained)[-1]).mean(axis=0))
+        else:
+            u0 = ss_mod.initial_position()
+        u_mode = find_map(jax.jit(logpost), u0, **kwargs)
+        return laplace_evidence(jax.jit(logpost), u_mode)
+    if method == "harmonic":
+        if result is None:
+            raise ValueError("method='harmonic' requires a fit() result")
+        return modified_harmonic_mean(result.unconstrained, result.logp,
+                                      **kwargs)
+    raise ValueError(f"method must be 'laplace' or 'harmonic', got {method!r}")
