@@ -132,3 +132,56 @@ def test_composite_shock_distribution():
     concrete = d.concretize({"sigma_eps": 0.05})
     assert isinstance(concrete, Normal)
     assert concrete.sigma == 0.05
+
+
+# ---- unconstrained transform round trips (the sampler's parameterization)
+
+import jax
+
+
+@pytest.mark.parametrize("dist,x", [
+    (Normal(0.5, 2.0), 1.3),             # unbounded
+    (Gamma(alpha=2.0, beta=0.5), 3.1),   # lower-bounded
+    (Beta(2.0, 5.0), 0.27),              # doubly bounded
+    (InverseGamma(alpha=3.0, beta=0.02), 0.011),
+])
+def test_unconstrained_roundtrip(dist, x):
+    u = dist.to_unconstrained(jnp.asarray(x))
+    x_back, logjac = dist.from_unconstrained(u)
+    np.testing.assert_allclose(float(x_back), x, rtol=1e-10)
+    assert np.isfinite(float(logjac))
+
+
+@pytest.mark.parametrize("dist", [
+    Normal(0.5, 2.0),
+    Gamma(alpha=2.0, beta=0.5),
+    Beta(2.0, 5.0),
+])
+def test_from_unconstrained_jacobian_is_exact(dist):
+    """log|dx/du| returned by from_unconstrained must equal the autodiff
+    derivative of the transform (it enters every log posterior)."""
+    for u0 in (-1.2, 0.0, 0.7):
+        u = jnp.asarray(u0)
+        dxdu = jax.grad(lambda v: dist.from_unconstrained(v)[0])(u)
+        _, logjac = dist.from_unconstrained(u)
+        np.testing.assert_allclose(float(logjac), float(jnp.log(dxdu)),
+                                   rtol=1e-8)
+
+
+def test_partial_correlation_lkj_marginal():
+    from geconpy_tpu.dists import PartialCorrelation
+
+    d = PartialCorrelation.lkj_marginal(eta=2.0, dim=4, order=1)
+    assert d.alpha == pytest.approx(2.0 + (4 - 1 - 1) / 2)
+    # density integrates to one on (-1, 1)
+    xs = np.linspace(-0.999, 0.999, 20_001)
+    pdf = np.exp(np.asarray(jax.vmap(d.logpdf)(jnp.asarray(xs))))
+    np.testing.assert_allclose(np.trapezoid(pdf, xs), 1.0, atol=1e-3)
+    # symmetric around zero
+    assert float(d.logpdf(jnp.asarray(0.3))) == pytest.approx(
+        float(d.logpdf(jnp.asarray(-0.3))), rel=1e-12)
+    # outside support -> -inf
+    assert float(d.logpdf(jnp.asarray(1.5))) == -np.inf
+    # sampling moments match the stated variance
+    draws = np.asarray(d.sample(jax.random.PRNGKey(0), (50_000,)))
+    np.testing.assert_allclose(draws.var(), d.variance(), rtol=0.05)
