@@ -97,6 +97,8 @@ def fit(
     init_jitter: float = 0.5,
     pooled_adaptation: bool = False,
     policy: str = "xla",
+    init: str = "prior",
+    mass_init: str = "auto",
 ) -> PosteriorResult:
     """Sample the posterior with vmapped device-side NUTS chains.
 
@@ -104,6 +106,24 @@ def fit(
     chains during warmup (cross-chain Welford pooling) — with many chains
     each warmup window carries num_chains x the information, so shorter
     warmups suffice.
+
+    ``init="map"`` runs a mode search (jitted Adam + Newton,
+    ``stats/model_comparison.py::find_map``) and starts every chain in a
+    small ball around the posterior mode — the Dynare workflow (mode-finding
+    before MCMC).  For sharply concentrated DSGE posteriors this is the
+    difference between converging in a few hundred draws and chains stuck on
+    the climb: warmup then only has to adapt, not travel.  ``init="prior"``
+    (default) jitters around the prior means.
+
+    ``mass_init="auto"`` (default) seeds the diagonal mass matrix from the
+    log-posterior curvature when starting at the mode (``init="map"``, where
+    curvature is trustworthy — the Laplace metric) and from the identity
+    otherwise.  DSGE posteriors mix parameter scales across four orders of
+    magnitude (persistences vs shock stds); the windowed Welford estimator
+    can only correct the metric geometrically per window, so curvature
+    seeding at the mode is the difference between ESS ~5 and ESS ~200 on
+    concentrated targets (see tests/stats/test_nuts.py).  Override with
+    "hessian"/"unit" explicitly.
 
     ``policy="pallas"`` runs every chain's value+grad on the lane-batched
     Pallas cycle-reduction kernel (the sweep/benchmark hot path): the
@@ -122,10 +142,20 @@ def fit(
     key = jax.random.PRNGKey(seed)
     k_init, k_sample = jax.random.split(key)
     init_keys = jax.random.split(k_init, num_chains)
-    inits = jnp.stack([
-        ss_mod.initial_position(jitter=init_jitter, key=init_keys[i])
-        for i in range(num_chains)
-    ])
+    if init == "map":
+        from .model_comparison import find_map
+
+        u_mode = find_map(jax.jit(logpost), ss_mod.initial_position())
+        _log.info("MAP found: logpost %.2f", float(logpost(u_mode)))
+        inits = u_mode[None, :] + 0.05 * jax.random.normal(
+            k_init, (num_chains, u_mode.shape[0]), dtype=u_mode.dtype)
+    elif init == "prior":
+        inits = jnp.stack([
+            ss_mod.initial_position(jitter=init_jitter, key=init_keys[i])
+            for i in range(num_chains)
+        ])
+    else:
+        raise ValueError(f"init must be 'prior' or 'map', got {init!r}")
 
     _log.info("NUTS: %d chains x (%d warmup + %d samples), %d parameters",
               num_chains, num_warmup, num_samples, ss_mod.n_estimated)
@@ -133,7 +163,9 @@ def fit(
         logpost, inits, k_sample, num_warmup=num_warmup,
         num_samples=num_samples, max_depth=max_depth,
         target_accept=target_accept, pooled=pooled_adaptation,
-        logp_grad_fn=logp_grad_fn)
+        logp_grad_fn=logp_grad_fn,
+        mass_init=({"auto": "hessian" if init == "map" else "unit"}
+                   .get(mass_init, mass_init)))
 
     constrain_all = jax.jit(jax.vmap(jax.vmap(ss_mod.constrain)))
     constrained = np.asarray(constrain_all(res.samples))

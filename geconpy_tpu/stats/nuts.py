@@ -285,7 +285,9 @@ class WindowedAdaptation(NamedTuple):
     inv_mass: jax.Array
 
 
-def _adapt_init(eps0, dim, dtype):
+def _adapt_init(eps0, dim, dtype, inv_mass0=None):
+    if inv_mass0 is None:
+        inv_mass0 = jnp.ones((dim,), dtype)
     return WindowedAdaptation(
         log_eps=jnp.log(jnp.asarray(eps0, dtype)),
         log_eps_bar=jnp.asarray(0.0, dtype),
@@ -295,8 +297,34 @@ def _adapt_init(eps0, dim, dtype):
         welford_mean=jnp.zeros((dim,), dtype),
         welford_m2=jnp.zeros((dim,), dtype),
         welford_n=jnp.asarray(0, jnp.int32),
-        inv_mass=jnp.ones((dim,), dtype),
+        inv_mass=jnp.asarray(inv_mass0, dtype),
     )
+
+
+def _hessian_diag_inv_mass(logp_grad, q):
+    """Diagonal-curvature mass initialization: inv_mass_i = 1 / |d2(-logp)/dq_i2|.
+
+    The diagonal Hessian comes from dim forward-over-reverse JVPs of the
+    gradient — cheap at DSGE dimensions.  Coordinates with non-positive or
+    non-finite curvature (off-mode saddle directions) fall back to unit.
+    The windowed Welford estimator only has to REFINE this, not discover
+    scale ratios of 1e4 from scratch — which its doubling windows cannot do
+    (each window's estimate for a frozen coordinate reflects last window's
+    random-walk distance, a feedback loop that escapes only geometrically).
+    """
+    dim = q.shape[0]
+    eye = jnp.eye(dim, dtype=q.dtype)
+
+    def hvp_diag(v):
+        _, tangent = jax.jvp(lambda x: logp_grad(x)[1], (q,), (v,))
+        return jnp.dot(v, tangent)
+
+    neg_curv = -jax.vmap(hvp_diag)(eye)       # d2(-logp)/dq_i2
+    good = jnp.isfinite(neg_curv) & (neg_curv > 1e-12)
+    inv_mass = jnp.where(good, 1.0 / jnp.where(good, neg_curv, 1.0), 1.0)
+    # unconstrained parameters are O(1): a near-flat direction at the init
+    # point must not seed an absurd scale the windows cannot walk back
+    return jnp.clip(inv_mass, 1e-6, 10.0)
 
 
 def _dual_averaging_update(adapt, accept_prob, target=0.8, gamma=0.05,
@@ -343,11 +371,17 @@ def _welford_update_batch(adapt, qs, axis_name=None):
                           welford_n=adapt.welford_n + c.astype(jnp.int32))
 
 
-def _welford_finalize(adapt):
+def _welford_finalize(adapt, prev_anchor: bool = False):
     n = jnp.maximum(adapt.welford_n, 2).astype(adapt.welford_m2.dtype)
     var = adapt.welford_m2 / (n - 1)
-    # Stan's regularization toward unit variance
-    var = (n / (n + 5.0)) * var + 1e-3 * (5.0 / (n + 5.0))
+    # Stan regularizes each window's variance toward the constant 1e-3.  For
+    # a curvature-seeded metric (mass_init="hessian") that would OVERWRITE
+    # the good seed with the first window's noisy estimate, so seeded runs
+    # regularize toward the PREVIOUS metric instead — a window whose chains
+    # barely traveled a direction keeps the old scale rather than collapsing
+    # it.  Unit-seeded runs keep Stan's behavior exactly.
+    anchor = adapt.inv_mass if prev_anchor else 1e-3
+    var = (n / (n + 5.0)) * var + (5.0 / (n + 5.0)) * anchor
     return adapt._replace(
         inv_mass=var,
         welford_mean=jnp.zeros_like(adapt.welford_mean),
@@ -403,8 +437,15 @@ def sample_nuts(
     pooled: bool = False,
     axis_name: str | None = None,
     logp_grad_fn: Callable | None = None,
+    mass_init: str = "unit",
 ) -> NUTSResult:
     """Run vmapped NUTS chains.
+
+    ``mass_init="hessian"`` seeds the diagonal mass matrix from the negative
+    log-posterior curvature at each chain's initial position (ideal when
+    starting at/near the posterior mode, cf. ``fit(init="map")``); the
+    windowed Welford estimate then refines it.  ``"unit"`` is the classic
+    identity start.
 
     ``logp_fn(q) -> scalar`` must be jittable; chains are vmapped, so the
     whole sampler is one XLA program.  Warmup adapts step size (dual
@@ -434,11 +475,22 @@ def sample_nuts(
         g = jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g))
         return val, g
 
+    if mass_init == "hessian":
+        inv_mass0 = jax.vmap(
+            lambda q: _hessian_diag_inv_mass(logp_grad, q))(initial_position)
+    elif mass_init == "unit":
+        inv_mass0 = None
+    else:
+        raise ValueError(f"mass_init must be 'unit' or 'hessian', "
+                         f"got {mass_init!r}")
+
     if pooled:
+        pooled_im0 = None if inv_mass0 is None else jnp.mean(inv_mass0, axis=0)
         return _sample_nuts_pooled(
             logp_fn, logp_grad, initial_position, key, num_warmup,
             num_samples, max_depth, initial_step_size, target_accept,
-            in_slow, window_end, axis_name, logp_grad_fn)
+            in_slow, window_end, axis_name, logp_grad_fn, pooled_im0,
+            prev_anchor=(mass_init == "hessian"))
 
     def warmup_step(carry, inputs):
         step_idx, key = inputs
@@ -454,7 +506,7 @@ def sample_nuts(
                              lambda a: _welford_update(a, q), lambda a: a, adapt)
 
         def finalize(a):
-            a = _welford_finalize(a)
+            a = _welford_finalize(a, prev_anchor=(mass_init == "hessian"))
             # restart dual averaging around the current step size
             return a._replace(mu=jnp.log(10.0) + a.log_eps,
                               h_bar=jnp.zeros_like(a.h_bar),
@@ -472,9 +524,9 @@ def sample_nuts(
                info["n_leapfrog"])
         return (q, logp, grad, eps, inv_mass), out
 
-    def one_chain(q0, chain_key):
+    def one_chain(q0, chain_key, im0):
         logp0, grad0 = logp_grad(q0)
-        adapt = _adapt_init(initial_step_size, dim, dtype)
+        adapt = _adapt_init(initial_step_size, dim, dtype, inv_mass0=im0)
         warm_keys = jax.random.split(chain_key, num_warmup + 1)
         carry = (q0, logp0, grad0, adapt)
         (q, logp, grad, adapt), _ = jax.lax.scan(
@@ -488,15 +540,18 @@ def sample_nuts(
         return qs, logps, accepts, divs, n_leaps, eps_final, adapt.inv_mass
 
     chain_keys = jax.random.split(key, n_chains)
+    if inv_mass0 is None:
+        inv_mass0 = jnp.ones((n_chains, dim), dtype)
     qs, logps, accepts, divs, n_leaps, eps_final, inv_mass = jax.vmap(one_chain)(
-        initial_position, chain_keys)
+        initial_position, chain_keys, inv_mass0)
     return NUTSResult(qs, logps, accepts, divs, n_leaps, eps_final, inv_mass)
 
 
 def _sample_nuts_pooled(logp_fn, logp_grad, initial_position, key,
                         num_warmup, num_samples, max_depth,
                         initial_step_size, target_accept, in_slow,
-                        window_end, axis_name, logp_grad_fn=None):
+                        window_end, axis_name, logp_grad_fn=None,
+                        inv_mass0=None, prev_anchor=False):
     """Cross-chain pooled warmup: shared step size + shared mass matrix.
 
     The step loop is the outer scan and chains run vmapped inside it, so
@@ -529,7 +584,7 @@ def _sample_nuts_pooled(logp_fn, logp_grad, initial_position, key,
         adapt = jax.tree.map(
             lambda a, b: jnp.where(in_slow[step_idx], b, a), adapt, upd)
 
-        fin = _welford_finalize(adapt)
+        fin = _welford_finalize(adapt, prev_anchor=prev_anchor)
         fin = fin._replace(mu=jnp.log(10.0) + fin.log_eps,
                            h_bar=jnp.zeros_like(fin.h_bar),
                            count=jnp.zeros_like(fin.count))
@@ -547,7 +602,7 @@ def _sample_nuts_pooled(logp_fn, logp_grad, initial_position, key,
         return (qs, logps, grads, eps, inv_mass), out
 
     logps0, grads0 = jax.vmap(logp_grad)(initial_position)
-    adapt = _adapt_init(initial_step_size, dim, dtype)
+    adapt = _adapt_init(initial_step_size, dim, dtype, inv_mass0=inv_mass0)
     warm_keys = jax.random.split(key, num_warmup + 1)
     carry = (initial_position, logps0, grads0, adapt)
     (qs, logps, grads, adapt), _ = jax.lax.scan(

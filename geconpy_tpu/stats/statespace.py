@@ -1069,16 +1069,25 @@ class DSGEStateSpace:
             for i, p in enumerate(self.estimated)
         }
 
-    def data_from_prior(self, key, periods: int = 200):
+    def data_from_prior(self, key, periods: int = 200,
+                        params: dict | None = None):
         """Simulate an artificial dataset from one prior draw.
 
         Role parity with ``gEconpy/model/statespace.py:1324``.
-        Returns (data (periods, k_obs), draw dict).
+        Returns (data (periods, k_obs), draw dict).  ``params`` pins chosen
+        estimated parameters to given values instead of sampling them
+        (controlled simulation studies / well-identified test fixtures).
         """
         k_draw, k_sim, k_obs_noise = jax.random.split(key, 3)
         draw = {p.name: float(np.asarray(p.prior.sample(k)))
                 for p, k in zip(self.estimated,
                                 jax.random.split(k_draw, len(self.estimated)))}
+        if params:
+            unknown = set(params) - set(draw)
+            if unknown:
+                raise ValueError(
+                    f"params not estimated here: {sorted(unknown)}")
+            draw.update({k_: float(v) for k_, v in params.items()})
         # reuse the pipeline pieces directly for simulation
         mf = self.model.functions
         theta_free = np.asarray(self._theta_default).copy()

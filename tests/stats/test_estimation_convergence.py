@@ -1,10 +1,18 @@
 """R-hat-converged multi-parameter estimation (config-3 scale).
 
-Stronger than the smoke test in test_estimation.py: a 4-parameter NK
+Stronger than the smoke test in test_estimation.py: a 4-parameter RBC
 estimation with pooled cross-chain adaptation must CONVERGE by standard
 MCMC criteria (split-R-hat < 1.05, ESS > 100 per parameter) and cover the
-data-generating values.  ~4-6 min on CPU; marked slow alongside the NUTS
+data-generating values.  ~5 min on CPU; marked slow alongside the NUTS
 end-to-end tests.
+
+The target is deliberately well-identified: structural curvature (alpha,
+sigma_C) plus the technology-shock block (rho_A, sigma_A) from observed
+output and consumption.  A cautionary note for fixture design lives in
+tests/stats/test_nonidentification.py: nk_3eq with only (x, pi) observed
+has an exactly label-switching-bimodal posterior in its two shock blocks,
+which NO sampler tuning can push below R-hat 1.05 — convergence tests must
+use identified configurations.
 """
 
 import jax
@@ -18,14 +26,16 @@ from geconpy_tpu.stats.statespace import DSGEStateSpace
 
 @pytest.fixture(scope="module")
 def setup():
-    model = model_from_gcn(get_example_gcn("nk_3eq"), verbose=False)
+    model = model_from_gcn(get_example_gcn("rbc_estimation"), verbose=False)
     ss = DSGEStateSpace(model)
-    # estimate the full shock block: two persistences + two volatilities
-    ss.configure(observed_states=["x", "pi"],
+    ss.configure(observed_states=["Y", "C"],
                  filter_type="stationary", kalman_settle=48,
-                 constant_params=["beta", "kappa", "sigma", "phi_pi",
-                                  "phi_x"])
-    data, draw = ss.data_from_prior(jax.random.PRNGKey(7), periods=250)
+                 measurement_error={"Y": 0.01, "C": 0.01})
+    # pin the data-generating point to a comfortably interior value
+    data, draw = ss.data_from_prior(
+        jax.random.PRNGKey(7), periods=250,
+        params={"alpha": 0.35, "sigma_C": 1.5, "rho_A": 0.92,
+                "sigma_A": 0.012})
     return ss, np.asarray(data), draw
 
 
@@ -33,8 +43,8 @@ def test_multiparameter_estimation_converges(setup):
     ss, data, truth = setup
     assert ss.n_estimated == 4
 
-    res = fit(ss, data, num_chains=4, num_warmup=300, num_samples=300,
-              seed=2, max_depth=7, pooled_adaptation=True)
+    res = fit(ss, data, num_chains=4, num_warmup=500, num_samples=600,
+              seed=2, max_depth=8, pooled_adaptation=True, init="map")
     summ = res.summary()
 
     assert (summ["r_hat"] < 1.05).all(), summ
