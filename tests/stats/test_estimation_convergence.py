@@ -51,8 +51,12 @@ def test_multiparameter_estimation_converges(setup):
     assert (summ["ess"] > 100).all(), summ
     assert res.diverging.mean() < 0.05
 
-    # posterior 94% HDI covers the data-generating value for every param
+    # posterior 99% interval covers the data-generating value for every
+    # param (94% HDIs legitimately miss ~6% per parameter — with 4
+    # parameters a deterministic test at 94% fails ~1 run in 4)
+    flat = res.to_frame()
     for name in res.param_names:
-        lo, hi = summ.loc[name, "hdi_3%"], summ.loc[name, "hdi_97%"]
+        lo = float(flat[name].quantile(0.005))
+        hi = float(flat[name].quantile(0.995))
         assert lo <= truth[name] <= hi, (
             f"{name}: truth {truth[name]:.4f} outside [{lo:.4f}, {hi:.4f}]")
