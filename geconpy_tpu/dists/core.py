@@ -214,9 +214,12 @@ class PartialCorrelation(Distribution):
     """Scaled Beta on (-1, 1): x = 2 B - 1 with B ~ Beta(alpha, alpha).
 
     The canonical-partial-correlation marginal of the LKJ(eta) correlation
-    prior (Lewandowski-Kurowicka-Joe vine construction): an order-k partial
-    correlation of a d-dimensional LKJ(eta) matrix is 2 Beta(a, a) - 1 with
-    a = eta + (d - 1 - k) / 2.  Used by
+    prior (Lewandowski-Kurowicka-Joe vine construction): a partial
+    correlation with conditioning-set size k of a d-dimensional LKJ(eta)
+    matrix is 2 Beta(a, a) - 1 with a = eta + (d - 2 - k) / 2 (LKJ 2009,
+    C-vine: tree level k+1 gets shape eta + (d - 1 - (k+1)) / 2; the k = 0
+    element marginal is the classic eta + (d - 2) / 2, and d = 2, eta = 1
+    gives the uniform a = 1).  Used by
     ``DSGEStateSpace.configure(full_shock_covariance=True)`` to put an LKJ
     prior on the shock correlation Cholesky factor (reference role: the full
     PSD state_cov of ``gEconpy/model/statespace.py:240``).
@@ -230,7 +233,7 @@ class PartialCorrelation(Distribution):
     @classmethod
     def lkj_marginal(cls, eta: float, dim: int, order: int
                      ) -> "PartialCorrelation":
-        return cls(alpha=eta + (dim - 1 - order) / 2.0)
+        return cls(alpha=eta + (dim - 2 - order) / 2.0)
 
     def logpdf(self, x):
         a = self.alpha

@@ -223,8 +223,7 @@ def cyclostationary_kalman_loglik(y, T, R, Q, Z, H, d=None, x0=None,
     def settle_cycle(P, _):
         return _cycle_map(P, Ts, RQRs, Zs_s, Hs_s), None
 
-    P0, _ = jax.lax.scan(settle_cycle, RQRs, None,
-                         length=min(n_settle, 8))
+    P0, _ = jax.lax.scan(settle_cycle, RQRs, None, length=max(n_settle, 1))
 
     # cyclic Hewer polish: with gains frozen at the current cycle, the
     # closed-loop covariance over one cycle is linear — solve it exactly by

@@ -1,0 +1,188 @@
+"""Unscented Kalman filter for nonlinear (second-order) state spaces.
+
+The reference (gEconpy) estimates first-order solutions only, via the linear
+Kalman filter (``gEconpy/model/statespace.py:1139`` -> pymc_extras).  This
+module extends likelihood-based estimation to the pruned second-order state
+space (``models/second_order.py``), TPU-first:
+
+- **Augmented-state sigma points.**  Each step draws 2(n+q)+1 sigma points
+  over the joint (state, shock) vector, so nonlinear shock entry
+  (the G_xu / G_uu terms of the pruned system) is handled exactly to second
+  order — no additive-noise approximation.
+- **Block-diagonal square root.**  cov(state, shock) is block diagonal, so
+  the matrix square root is chol(P) (+) chol(Q) — never factor the (n+q)
+  augmented matrix.
+- **Fully differentiable.**  Every operation is smooth (cholesky, matmuls,
+  where-masks), so ``jax.grad`` flows through the whole filter and NUTS can
+  sample second-order posteriors.  The scan is vmappable over draws/chains.
+- **Masked missing data** with the same neutralized-row scheme as
+  ``ops/kalman.py`` (unit variance on missing rows, loglik counts observed
+  entries only), keeping ragged data static-shaped.
+- **Failure = flags.**  Indefinite covariances produce NaN through cholesky;
+  the final ``success`` flag ANDs per-step finiteness.  No exceptions on
+  device (vmap-batched MCMC draws must not abort the batch).
+
+The scaled unscented transform (Julier-Uhlmann / van der Merwe) is exact for
+linear dynamics regardless of (alpha, beta, kappa): with f linear the sigma
+mean/covariance reproduce the Kalman predict/update identically, which is the
+oracle test in ``tests/ops/test_ukf.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .precision import highest_precision
+
+__all__ = ["UKFResult", "ukf_loglik"]
+
+_LOG2PI = 1.8378770664093453
+
+
+class UKFResult(NamedTuple):
+    loglik: jax.Array          # scalar total log-likelihood
+    loglik_t: jax.Array        # (periods,) per-period contributions
+    filtered_mean: jax.Array   # (periods, n)
+    filtered_cov: jax.Array    # (periods, n, n)
+    success: jax.Array         # scalar bool: all steps finite & PSD
+
+
+def _sigma_weights(L: int, alpha: float, beta: float, kappa: float, dtype):
+    lam = alpha * alpha * (L + kappa) - L
+    c = L + lam
+    wm = jnp.full((2 * L + 1,), 1.0 / (2.0 * c), dtype)
+    wm = wm.at[0].set(lam / c)
+    wc = wm.at[0].set(lam / c + (1.0 - alpha * alpha + beta))
+    return wm, wc, jnp.asarray(jnp.sqrt(c), dtype)
+
+
+@highest_precision
+def ukf_loglik(y, transition: Callable, observe: Callable, Q, H,
+               x0, P0, alpha: float = 1.0, beta: float = 2.0,
+               kappa: float = 0.0, jitter: float = 0.0) -> UKFResult:
+    """Unscented filter log-likelihood.
+
+    Parameters
+    ----------
+    y
+        (periods, k_obs) data, NaN = missing.
+    transition
+        ``transition(x, eps) -> x_next`` — nonlinear state recursion with
+        the shock vector entering arbitrarily (eps ~ N(0, Q)).
+    observe
+        ``observe(x) -> (k_obs,)`` predicted observation; measurement noise
+        is additive with covariance ``H``.
+    Q, H
+        shock / measurement-noise covariances.
+    x0, P0
+        prior state mean and covariance at t=0 (before the first predict).
+    jitter
+        optional diagonal added to the state covariance before each
+        factorization (0 is fine in float64; ~1e-8 helps float32).
+
+    Returns ``UKFResult``; ``success`` is False when any covariance
+    factorization failed (non-PSD -> NaN) or a non-finite value appeared.
+    """
+    y = jnp.asarray(y)
+    x0 = jnp.asarray(x0)
+    dtype = x0.dtype
+    Q = jnp.asarray(Q, dtype)
+    H = jnp.asarray(H, dtype)
+    P0 = jnp.asarray(P0, dtype)
+    n = x0.shape[0]
+    q = Q.shape[0]
+    k = H.shape[0]
+    L = n + q
+    wm, wc, gamma = _sigma_weights(L, alpha, beta, kappa, dtype)
+    chol_Q = jnp.linalg.cholesky(Q + jnp.eye(q, dtype) * jitter)
+    eye_n = jnp.eye(n, dtype)
+
+    v_trans = jax.vmap(transition)
+    v_obs = jax.vmap(observe)
+
+    def step(carry, y_t):
+        x, P = carry
+        # --- sigma points over the augmented (x, eps) vector; its covariance
+        # is block diagonal, so the augmented square root is chol(P) (+)
+        # chol(Q) and the +/- column perturbations touch either the state
+        # part (shock = 0) or the shock part (state = x), never both.
+        # Point order [center, +dx(n), -dx(n), +de(q), -de(q)] is a
+        # permutation of the canonical [center, +cols(L), -cols(L)]; all
+        # non-center weights are equal so the permutation is free.
+        chol_P = jnp.linalg.cholesky(
+            0.5 * (P + P.T) + eye_n * jitter)          # (n, n)
+        dx = gamma * chol_P.T                           # (n, n) rows = points
+        de = gamma * chol_Q.T                           # (q, q)
+        xs = jnp.concatenate([
+            x[None, :],
+            x[None, :] + dx, x[None, :] - dx,
+            jnp.broadcast_to(x, (2 * q, n)),
+        ], axis=0)                                      # (2L+1, n)
+        es = jnp.concatenate([
+            jnp.zeros((1 + 2 * n, q), dtype),
+            de, -de,
+        ], axis=0)                                      # (2L+1, q)
+
+        # --- propagate
+        xp = v_trans(xs, es)                            # (2L+1, n)
+        x_pred = wm @ xp
+        dxp = xp - x_pred[None, :]
+        P_pred = jnp.einsum("s,si,sj->ij", wc, dxp, dxp)
+        P_pred = 0.5 * (P_pred + P_pred.T)
+
+        # --- re-draw sigma points at the predicted density for the update
+        # (avoids third-order bias from reusing propagated points)
+        chol_Pp = jnp.linalg.cholesky(P_pred + eye_n * jitter)
+        dxu = gamma * chol_Pp
+        xu = jnp.concatenate([
+            x_pred[None, :],
+            x_pred[None, :] + dxu.T, x_pred[None, :] - dxu.T,
+        ], axis=0)                                      # (2n+1, n)
+        # weights for the n-dim update set, reusing the same spread gamma:
+        # points sit at +/- gamma * chol cols, so matching c_u = gamma^2
+        # makes the transform reproduce P_pred exactly (and stay exact for
+        # linear observe()).
+        cu = gamma ** 2
+        lam_u = cu - n
+        wmu = jnp.full((2 * n + 1,), 1.0 / (2.0 * cu), dtype)
+        wmu = wmu.at[0].set(lam_u / cu)
+        wcu = wmu.at[0].set(lam_u / cu + (1.0 - alpha * alpha + beta))
+
+        yp = v_obs(xu)                                  # (2n+1, k)
+        # --- masked update
+        mask = jnp.isfinite(y_t)
+        maskf = mask.astype(dtype)
+        y_eff = jnp.where(mask, y_t, 0.0)
+        yp_eff = yp * maskf[None, :]
+        y_hat = wmu @ yp_eff
+        dy = yp_eff - y_hat[None, :]
+        dxu_pts = xu - x_pred[None, :]
+        S = jnp.einsum("s,si,sj->ij", wcu, dy, dy) \
+            + H * jnp.outer(maskf, maskf) + jnp.diag(1.0 - maskf)
+        Pxy = jnp.einsum("s,si,sj->ij", wcu, dxu_pts, dy)
+
+        v = y_eff - y_hat
+        chol_S = jnp.linalg.cholesky(S)
+        w = jax.scipy.linalg.cho_solve((chol_S, True), v)
+        K = jax.scipy.linalg.cho_solve((chol_S, True), Pxy.T).T
+
+        x_filt = x_pred + K @ v
+        P_filt = P_pred - K @ S @ K.T
+        P_filt = 0.5 * (P_filt + P_filt.T)
+
+        logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol_S)))
+        n_obs_t = jnp.sum(maskf)
+        ll_t = -0.5 * (n_obs_t * _LOG2PI + logdet + v @ w)
+
+        ok = jnp.isfinite(ll_t) & jnp.all(jnp.isfinite(x_filt))
+        # freeze on failure so subsequent steps stay finite for the flag
+        x_next = jnp.where(ok, x_filt, x)
+        P_next = jnp.where(ok, P_filt, P)
+        return (x_next, P_next), (ll_t, x_filt, P_filt, ok)
+
+    (_, _), (ll_t, means, covs, oks) = jax.lax.scan(step, (x0, P0), y)
+    success = jnp.all(oks)
+    return UKFResult(jnp.sum(ll_t), ll_t, means, covs, success)

@@ -172,7 +172,7 @@ def test_partial_correlation_lkj_marginal():
     from geconpy_tpu.dists import PartialCorrelation
 
     d = PartialCorrelation.lkj_marginal(eta=2.0, dim=4, order=1)
-    assert d.alpha == pytest.approx(2.0 + (4 - 1 - 1) / 2)
+    assert d.alpha == pytest.approx(2.0 + (4 - 2 - 1) / 2)
     # density integrates to one on (-1, 1)
     xs = np.linspace(-0.999, 0.999, 20_001)
     pdf = np.exp(np.asarray(jax.vmap(d.logpdf)(jnp.asarray(xs))))
@@ -185,3 +185,51 @@ def test_partial_correlation_lkj_marginal():
     # sampling moments match the stated variance
     draws = np.asarray(d.sample(jax.random.PRNGKey(0), (50_000,)))
     np.testing.assert_allclose(draws.var(), d.variance(), rtol=0.05)
+
+
+def test_lkj_marginal_d2_eta1_is_uniform():
+    """Oracle: LKJ(1) in d=2 is the uniform prior on the correlation, so the
+    vine marginal must be Beta(1, 1) scaled — constant density 1/2."""
+    from geconpy_tpu.dists import PartialCorrelation
+
+    d = PartialCorrelation.lkj_marginal(eta=1.0, dim=2, order=0)
+    assert d.alpha == pytest.approx(1.0)
+    for x in (-0.9, -0.3, 0.0, 0.5, 0.99):
+        assert float(d.logpdf(jnp.asarray(x))) == pytest.approx(
+            np.log(0.5), abs=1e-10)
+    # classic element-marginal check: order-0 in dim d has a = eta+(d-2)/2
+    d3 = PartialCorrelation.lkj_marginal(eta=1.0, dim=3, order=0)
+    assert d3.alpha == pytest.approx(1.5)
+
+
+def test_lkj_vine_marginals_reproduce_lkj_density():
+    """Oracle: in d=3 the product of the vine marginals times the
+    change-of-variables Jacobian must be proportional to the LKJ density
+    det(R)^(eta-1) in the (r21, r31, r32) coordinates.
+
+    Vine coordinates: r21, r31 are conditioning-set-size-0 partial
+    correlations, p = rho_{32|1} has conditioning-set size 1, and
+    r32 = p*sqrt((1-r21^2)(1-r31^2)) + r21*r31 with
+    dr32/dp = sqrt((1-r21^2)(1-r31^2)).
+    """
+    from geconpy_tpu.dists import PartialCorrelation
+
+    eta, dim = 2.0, 3
+    d0 = PartialCorrelation.lkj_marginal(eta, dim, order=0)
+    d1 = PartialCorrelation.lkj_marginal(eta, dim, order=1)
+
+    rng = np.random.default_rng(7)
+    pts = rng.uniform(-0.85, 0.85, size=(12, 3))
+    ratios = []
+    for r21, r31, p in pts:
+        jac = np.sqrt((1 - r21**2) * (1 - r31**2))
+        r32 = p * jac + r21 * r31
+        log_vine = (float(d0.logpdf(jnp.asarray(r21)))
+                    + float(d0.logpdf(jnp.asarray(r31)))
+                    + float(d1.logpdf(jnp.asarray(p)))
+                    - np.log(jac))
+        R = np.array([[1, r21, r31], [r21, 1, r32], [r31, r32, 1.0]])
+        log_lkj = (eta - 1.0) * np.log(np.linalg.det(R))
+        ratios.append(log_vine - log_lkj)
+    # constant ratio across points <=> densities proportional
+    np.testing.assert_allclose(ratios, ratios[0], atol=1e-8)
