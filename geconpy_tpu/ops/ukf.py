@@ -97,8 +97,8 @@ def ukf_loglik(y, transition: Callable, observe: Callable, Q, H,
     k = H.shape[0]
     L = n + q
     wm, wc, gamma = _sigma_weights(L, alpha, beta, kappa, dtype)
-    chol_Q = jnp.linalg.cholesky(Q + jnp.eye(q, dtype) * jitter)
-    eye_n = jnp.eye(n, dtype)
+    chol_Q = jnp.linalg.cholesky(Q + jnp.eye(q, dtype=dtype) * jitter)
+    eye_n = jnp.eye(n, dtype=dtype)
 
     v_trans = jax.vmap(transition)
     v_obs = jax.vmap(observe)
