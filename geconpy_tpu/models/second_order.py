@@ -32,6 +32,7 @@ log-linearized variables, level deviation otherwise):
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -57,14 +58,7 @@ class SecondOrderResult(NamedTuple):
 
 
 @highest_precision
-def solve_quadratic_sylvester(A_l, C, T, K, n_iter: int = 30):
-    """Solve  A_l X + C X (T (x) T) = -K  for X of shape (n_eq, n, n).
-
-    Smith-doubling on the series X = Sum_j M^j X0 (T^j (x) T^j) with
-    M = -A_l^{-1} C, X0 = -A_l^{-1} K.  Converges iff rho(M) rho(T)^2 < 1,
-    which holds for determinate models (rho(T) < 1 and M's spectrum is the
-    reciprocal unstable spectrum of the pencil).  Returns (X, converged).
-    """
+def _sqs_raw(A_l, C, T, K, n_iter: int = 30):
     n_eq = K.shape[0]
     X0 = -jnp.linalg.solve(A_l, K.reshape(n_eq, -1)).reshape(K.shape)
     M0 = -jnp.linalg.solve(A_l, C)
@@ -87,6 +81,56 @@ def solve_quadratic_sylvester(A_l, C, T, K, n_iter: int = 30):
         cond, body, (X0, M0, T, jnp.asarray(0), jnp.asarray(False)))
     converged = done & jnp.all(jnp.isfinite(X))
     return X, converged
+
+
+def _apply_tt(X, T):
+    """X (T (x) T):  out[i,j,k] = X[i,a,b] T[a,j] T[b,k]."""
+    return jnp.einsum("iab,aj,bk->ijk", X, T, T)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def solve_quadratic_sylvester(A_l, C, T, K, n_iter: int = 30):
+    """Solve  A_l X + C X (T (x) T) = -K  for X of shape (n_eq, n, n).
+
+    Smith-doubling on the series X = Sum_j M^j X0 (T^j (x) T^j) with
+    M = -A_l^{-1} C, X0 = -A_l^{-1} K.  Converges iff rho(M) rho(T)^2 < 1,
+    which holds for determinate models (rho(T) < 1 and M's spectrum is the
+    reciprocal unstable spectrum of the pencil).  Returns (X, converged).
+
+    Differentiable: the implicit-function adjoint is the transposed
+    generalized Sylvester equation  A_l^T W + C^T W (T^T (x) T^T) = X_bar,
+    solved by the same doubling — one extra O(n^4 log) solve per backward
+    pass regardless of forward iteration count (the same structure as the
+    first-order policy adjoint, ops/cycle_reduction.py::_cr_bwd).  This is
+    what lets NUTS differentiate the second-order (UKF) likelihood
+    (stats/nonlinear.py).
+    """
+    return _sqs_raw(A_l, C, T, K, n_iter)
+
+
+def _sqs_fwd(A_l, C, T, K, n_iter):
+    X, converged = _sqs_raw(A_l, C, T, K, n_iter)
+    return (X, converged), (A_l, C, T, X)
+
+
+@highest_precision
+def _sqs_bwd(n_iter, residuals, cotangents):
+    X_bar, _conv_bar = cotangents
+    A_l, C, T, X = residuals
+    # W solves the transposed system: reuse the doubling solver with
+    # (A_l^T, C^T, T^T) and RHS -X_bar (the solver's sign convention)
+    W, _ = _sqs_raw(A_l.T, C.T, T.T, -X_bar, n_iter)
+    XT = _apply_tt(X, T)
+    A_bar = -jnp.einsum("ijk,ajk->ia", W, X)
+    C_bar = -jnp.einsum("ijk,ajk->ia", W, XT)
+    CX = jnp.einsum("ic,cpq->ipq", C, X)
+    T_bar = -(jnp.einsum("ijk,ipq,qk->pj", W, CX, T)
+              + jnp.einsum("ijk,ipq,pj->qk", W, CX, T))
+    K_bar = -W
+    return (A_bar, C_bar, T_bar, K_bar)
+
+
+solve_quadratic_sylvester.defvjp(_sqs_fwd, _sqs_bwd)
 
 
 def make_second_order_solver(mf: ModelFunctions,

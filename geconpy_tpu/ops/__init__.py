@@ -26,7 +26,13 @@ from .newton import (
     root,
 )
 from .parallel_kalman import parallel_kalman_filter, parallel_kalman_loglik
+from .particle_filter import (
+    ParticleFilterResult,
+    particle_filter_loglik,
+    systematic_resample,
+)
 from .qz_disk import DiskSplitResult, disk_function_split
+from .ukf import UKFResult, ukf_loglik
 
 __all__ = [
     "VectorBijector", "make_bijector", "solve_block_tridiagonal",
@@ -42,4 +48,6 @@ __all__ = [
     "RootResult", "dogleg_solve", "levenberg_marquardt_solve",
     "newton_solve", "root",
     "DiskSplitResult", "disk_function_split",
+    "ParticleFilterResult", "particle_filter_loglik", "systematic_resample",
+    "UKFResult", "ukf_loglik",
 ]

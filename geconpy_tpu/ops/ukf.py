@@ -80,8 +80,11 @@ def ukf_loglik(y, transition: Callable, observe: Callable, Q, H,
     x0, P0
         prior state mean and covariance at t=0 (before the first predict).
     jitter
-        optional diagonal added to the state covariance before each
-        factorization (0 is fine in float64; ~1e-8 helps float32).
+        extra diagonal added to the state covariance before each
+        factorization, on top of an automatic dtype-aware floor of
+        ``100 * eps * max(diag, 1)`` (singular-but-PSD covariances are
+        legitimate — e.g. the y2 block of an exactly log-linear model is
+        identically zero — and plain cholesky would NaN on them).
 
     Returns ``UKFResult``; ``success`` is False when any covariance
     factorization failed (non-PSD -> NaN) or a non-finite value appeared.
@@ -97,8 +100,16 @@ def ukf_loglik(y, transition: Callable, observe: Callable, Q, H,
     k = H.shape[0]
     L = n + q
     wm, wc, gamma = _sigma_weights(L, alpha, beta, kappa, dtype)
-    chol_Q = jnp.linalg.cholesky(Q + jnp.eye(q, dtype=dtype) * jitter)
     eye_n = jnp.eye(n, dtype=dtype)
+    eps100 = 100.0 * jnp.finfo(dtype).eps
+
+    def _safe_chol(P, eye):
+        # PSD floor: semidefinite covariances (exact zeros on the diagonal)
+        # are valid inputs; cholesky needs strict positivity
+        scale = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(P))), 1.0)
+        return jnp.linalg.cholesky(P + eye * (jitter + eps100 * scale))
+
+    chol_Q = _safe_chol(Q, jnp.eye(q, dtype=dtype))
 
     v_trans = jax.vmap(transition)
     v_obs = jax.vmap(observe)
@@ -112,8 +123,7 @@ def ukf_loglik(y, transition: Callable, observe: Callable, Q, H,
         # Point order [center, +dx(n), -dx(n), +de(q), -de(q)] is a
         # permutation of the canonical [center, +cols(L), -cols(L)]; all
         # non-center weights are equal so the permutation is free.
-        chol_P = jnp.linalg.cholesky(
-            0.5 * (P + P.T) + eye_n * jitter)          # (n, n)
+        chol_P = _safe_chol(0.5 * (P + P.T), eye_n)     # (n, n)
         dx = gamma * chol_P.T                           # (n, n) rows = points
         de = gamma * chol_Q.T                           # (q, q)
         xs = jnp.concatenate([
@@ -134,8 +144,14 @@ def ukf_loglik(y, transition: Callable, observe: Callable, Q, H,
         P_pred = 0.5 * (P_pred + P_pred.T)
 
         # --- re-draw sigma points at the predicted density for the update
-        # (avoids third-order bias from reusing propagated points)
-        chol_Pp = jnp.linalg.cholesky(P_pred + eye_n * jitter)
+        # (avoids third-order bias from reusing propagated points).
+        # The PSD floor is committed INTO P_pred (not just the factor):
+        # the update subtracts K S K^T where S inherits the sigma spread,
+        # so inflating the factor but not P_pred would push P_filt negative
+        # by exactly the floor along perfectly-observed directions (H = 0).
+        scale_p = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(P_pred))), 1.0)
+        P_pred = P_pred + eye_n * (jitter + eps100 * scale_p)
+        chol_Pp = jnp.linalg.cholesky(P_pred)
         dxu = gamma * chol_Pp
         xu = jnp.concatenate([
             x_pred[None, :],

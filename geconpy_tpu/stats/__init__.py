@@ -15,6 +15,12 @@ from .model_comparison import (
     marginal_likelihood,
     modified_harmonic_mean,
 )
+from .nonlinear import (
+    build_logpost_second_order,
+    build_pf_loglik_second_order,
+    build_second_order_solution_fn,
+    quadratic_drive_covariance,
+)
 from .nuts import NUTSResult, nuts_kernel, sample_nuts
 from .perturbation_diagnostics import (
     eigenvalue_sensitivity,

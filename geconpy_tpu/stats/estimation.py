@@ -99,8 +99,16 @@ def fit(
     policy: str = "xla",
     init: str = "prior",
     mass_init: str = "auto",
+    order: int = 1,
 ) -> PosteriorResult:
     """Sample the posterior with vmapped device-side NUTS chains.
+
+    ``order=2`` samples the posterior of the pruned second-order solution:
+    the NUTS target becomes the differentiable unscented-filter log
+    posterior (``build_logpost_second_order``, stats/nonlinear.py) instead
+    of the linear Kalman one.  Beyond reference parity — gEconpy estimates
+    first-order solutions only.  The Pallas policy batch is first-order
+    machinery, so ``order=2`` requires ``policy="xla"``.
 
     ``pooled_adaptation=True`` shares the step size and mass matrix across
     chains during warmup (cross-chain Welford pooling) — with many chains
@@ -131,7 +139,15 @@ def fit(
     routed through one batched forward + one analytic-adjoint backward per
     NUTS step via ``jax.custom_batching.custom_vmap``.  Most effective with
     many chains (>= one 128-lane kernel tile)."""
-    logpost = ss_mod.build_logpost(data)
+    if order == 2:
+        if policy != "xla":
+            raise ValueError("order=2 estimation requires policy='xla' "
+                             "(the Pallas batch kernels are first-order)")
+        logpost = ss_mod.build_logpost_second_order(data)
+    elif order == 1:
+        logpost = ss_mod.build_logpost(data)
+    else:
+        raise ValueError(f"order must be 1 or 2, got {order!r}")
 
     logp_grad_fn = None
     if policy == "pallas":

@@ -697,6 +697,32 @@ class DSGEStateSpace:
 
         return extras
 
+    # ------------------------------------------------ second-order estimation
+    def build_logpost_second_order(self, data: np.ndarray, **kwargs
+                                   ) -> Callable[[jnp.ndarray], jax.Array]:
+        """Differentiable log posterior of the pruned second-order solution
+        via the unscented Kalman filter — same gating semantics as
+        :meth:`build_logpost`, usable directly as a NUTS target.  See
+        ``stats/nonlinear.py`` (beyond-parity: the reference estimates
+        first-order solutions only)."""
+        from .nonlinear import build_logpost_second_order
+
+        return build_logpost_second_order(self, data, **kwargs)
+
+    def build_pf_loglik_second_order(self, data: np.ndarray, **kwargs
+                                     ) -> Callable:
+        """``(u, key) -> (loglik, success)`` unbiased particle-filter
+        marginal likelihood of the pruned second-order system (PMMH /
+        UKF-approximation checks).  See ``stats/nonlinear.py``."""
+        from .nonlinear import build_pf_loglik_second_order
+
+        return build_pf_loglik_second_order(self, data, **kwargs)
+
+    def build_second_order_solution_fn(self) -> Callable[[jnp.ndarray], dict]:
+        from .nonlinear import build_second_order_solution_fn
+
+        return build_second_order_solution_fn(self)
+
     # ----------------------------------------------------- batched sweeps
     def build_batched_loglik(self, data: np.ndarray, n_settle: int = 32,
                              pallas_tile: int = 512,

@@ -136,6 +136,12 @@ ERROR_CASES = [
     ("err_shock_with_time_index.gcn", "E110"),
     ("err_objective_not_variable.gcn", "E111"),
     ("err_tryreduce_unknown.gcn", "E112"),
+    ("err_unexpected_char.gcn", "E001"),
+    ("err_missing_tilde.gcn", "E011"),
+    ("err_bad_calibrating_target.gcn", "E016"),
+    ("err_unexpected_token.gcn", "E017"),
+    ("err_bad_options_entry.gcn", "E018"),
+    ("err_bad_assumption.gcn", "E108"),
 ]
 
 

@@ -318,3 +318,41 @@ def test_generalized_irf_state_dependent_in_levels(bm):
     diff = np.max(np.abs(np.asarray(girf_hi[:, iK] - girf_ss[:, iK])))
     assert diff > 1e-5
     assert np.all(np.isfinite(np.asarray(girf_hi)))
+
+
+def test_quadratic_sylvester_adjoint_matches_fd():
+    """The custom_vjp of solve_quadratic_sylvester (implicit transposed-
+    Sylvester adjoint) must match finite differences in every argument —
+    this is what NUTS differentiates at second order."""
+    from geconpy_tpu.models.second_order import solve_quadratic_sylvester
+
+    rng = np.random.default_rng(0)
+    n = 4
+    T0 = jnp.asarray(rng.normal(size=(n, n)) * 0.2)
+    A_l = jnp.asarray(rng.normal(size=(n, n)) + 3.0 * np.eye(n))
+    C = jnp.asarray(rng.normal(size=(n, n)) * 0.3)
+    K = jnp.asarray(rng.normal(size=(n, n, n)))
+    V = jnp.asarray(rng.normal(size=(n, n, n)))  # cotangent direction
+
+    def scalar(A_l_, C_, T_, K_):
+        X, _ = solve_quadratic_sylvester(A_l_, C_, T_, K_)
+        return jnp.sum(X * V)
+
+    grads = jax.grad(scalar, argnums=(0, 1, 2, 3))(A_l, C, T0, K)
+    eps = 1e-6
+    args = [A_l, C, T0, K]
+    for ai in range(4):
+        g = np.asarray(grads[ai])
+        a = np.asarray(args[ai])
+        idxs = [tuple(rng.integers(0, n, a.ndim)) for _ in range(5)]
+        for idx in idxs:
+            perturbed = [jnp.asarray(x) for x in args]
+            ap = a.copy(); ap[idx] += eps
+            am = a.copy(); am[idx] -= eps
+            perturbed[ai] = jnp.asarray(ap)
+            fp = float(scalar(*perturbed))
+            perturbed[ai] = jnp.asarray(am)
+            fm = float(scalar(*perturbed))
+            fd = (fp - fm) / (2 * eps)
+            assert abs(g[idx] - fd) < 1e-5 * max(1.0, abs(fd)), \
+                (ai, idx, g[idx], fd)

@@ -156,7 +156,7 @@ def test_ukf_flags_nonfinite():
     y = jnp.ones((20, 1))
 
     def trans(x, e):
-        return jnp.exp(x * 50.0) + e      # overflows fast
+        return jnp.exp(x * 500.0) + e     # e^2500 overflows even float64
 
     res = ukf_loglik(y, trans, lambda x: x, Q, H,
                      jnp.array([5.0]), jnp.eye(1))
