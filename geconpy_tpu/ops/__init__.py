@@ -32,7 +32,7 @@ from .particle_filter import (
     systematic_resample,
 )
 from .qz_disk import DiskSplitResult, disk_function_split
-from .ukf import UKFResult, ukf_loglik
+from .ukf import UKFResult, UKFSmootherResult, ukf_loglik, ukf_smoother
 
 __all__ = [
     "VectorBijector", "make_bijector", "solve_block_tridiagonal",
@@ -49,5 +49,5 @@ __all__ = [
     "newton_solve", "root",
     "DiskSplitResult", "disk_function_split",
     "ParticleFilterResult", "particle_filter_loglik", "systematic_resample",
-    "UKFResult", "ukf_loglik",
+    "UKFResult", "UKFSmootherResult", "ukf_loglik", "ukf_smoother",
 ]

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 
 from .precision import highest_precision
 
-__all__ = ["UKFResult", "ukf_loglik"]
+__all__ = ["UKFResult", "UKFSmootherResult", "ukf_loglik", "ukf_smoother"]
 
 _LOG2PI = 1.8378770664093453
 
@@ -50,6 +50,15 @@ class UKFResult(NamedTuple):
     success: jax.Array         # scalar bool: all steps finite & PSD
 
 
+class UKFSmootherResult(NamedTuple):
+    smoothed_mean: jax.Array   # (periods, n) E[x_t | y_{1:T}]
+    smoothed_cov: jax.Array    # (periods, n, n)
+    filtered_mean: jax.Array
+    filtered_cov: jax.Array
+    loglik: jax.Array
+    success: jax.Array
+
+
 def _sigma_weights(L: int, alpha: float, beta: float, kappa: float, dtype):
     lam = alpha * alpha * (L + kappa) - L
     c = L + lam
@@ -60,10 +69,10 @@ def _sigma_weights(L: int, alpha: float, beta: float, kappa: float, dtype):
 
 
 @highest_precision
-def ukf_loglik(y, transition: Callable, observe: Callable, Q, H,
-               x0, P0, alpha: float = 1.0, beta: float = 2.0,
-               kappa: float = 0.0, jitter: float = 0.0) -> UKFResult:
-    """Unscented filter log-likelihood.
+def _ukf_forward(y, transition: Callable, observe: Callable, Q, H,
+                 x0, P0, alpha: float = 1.0, beta: float = 2.0,
+                 kappa: float = 0.0, jitter: float = 0.0):
+    """Unscented filter forward pass (shared by ukf_loglik / ukf_smoother).
 
     Parameters
     ----------
@@ -197,8 +206,62 @@ def ukf_loglik(y, transition: Callable, observe: Callable, Q, H,
         # freeze on failure so subsequent steps stay finite for the flag
         x_next = jnp.where(ok, x_filt, x)
         P_next = jnp.where(ok, P_filt, P)
-        return (x_next, P_next), (ll_t, x_filt, P_filt, ok)
+        # cross-covariance Cov(x_{t-1}^filt, x_t^pred) for the RTS smoother
+        cross = jnp.einsum("s,si,sj->ij", wc, xs - x[None, :], dxp)
+        return ((x_next, P_next),
+                (ll_t, x_filt, P_filt, x_pred, P_pred, cross, ok))
 
-    (_, _), (ll_t, means, covs, oks) = jax.lax.scan(step, (x0, P0), y)
+    (_, _), (ll_t, means, covs, preds, pred_covs, crosses, oks) = \
+        jax.lax.scan(step, (x0, P0), y)
     success = jnp.all(oks)
-    return UKFResult(jnp.sum(ll_t), ll_t, means, covs, success)
+    return (UKFResult(jnp.sum(ll_t), ll_t, means, covs, success),
+            (preds, pred_covs, crosses))
+
+
+def ukf_loglik(y, transition: Callable, observe: Callable, Q, H,
+               x0, P0, alpha: float = 1.0, beta: float = 2.0,
+               kappa: float = 0.0, jitter: float = 0.0) -> UKFResult:
+    """Unscented filter log-likelihood — see :func:`_ukf_forward` for the
+    full parameter documentation.  Returns :class:`UKFResult`; ``success``
+    is False when any covariance factorization failed or a non-finite value
+    appeared."""
+    res, _ = _ukf_forward(y, transition, observe, Q, H, x0, P0,
+                          alpha, beta, kappa, jitter)
+    return res
+
+
+@highest_precision
+def ukf_smoother(y, transition: Callable, observe: Callable, Q, H,
+                 x0, P0, alpha: float = 1.0, beta: float = 2.0,
+                 kappa: float = 0.0, jitter: float = 0.0
+                 ) -> UKFSmootherResult:
+    """Unscented RTS smoother: E[x_t | y_{1:T}] for the nonlinear state
+    space (same conventions as :func:`ukf_loglik`).
+
+    Backward recursion with the sigma-point cross-covariance
+    C_t = Cov(x_t^filt, x_{t+1}^pred):  G_t = C_t P_pred(t+1)^{-1},
+    x_s(t) = x_f(t) + G_t (x_s(t+1) - x_pred(t+1)).  Exact RTS on linear
+    models (oracle-tested against ops/kalman.py::kalman_smoother)."""
+    res, (preds, pred_covs, crosses) = _ukf_forward(
+        y, transition, observe, Q, H, x0, P0, alpha, beta, kappa, jitter)
+    means, covs = res.filtered_mean, res.filtered_cov
+
+    def back(carry, inp):
+        x_s, P_s = carry
+        x_f, P_f, x_p_next, P_p_next, cross = inp
+        G = jnp.linalg.solve(P_p_next.T, cross.T).T
+        x_new = x_f + G @ (x_s - x_p_next)
+        P_new = P_f + G @ (P_s - P_p_next) @ G.T
+        P_new = 0.5 * (P_new + P_new.T)
+        return (x_new, P_new), (x_new, P_new)
+
+    # crosses[t] couples x_{t-1}^filt with x_t^pred, so shift by one:
+    # smoothing step t uses (x_f(t), P_f(t), x_pred(t+1), P_pred(t+1),
+    # cross(t+1)) for t = T-2 .. 0
+    init = (means[-1], covs[-1])
+    inputs = (means[:-1], covs[:-1], preds[1:], pred_covs[1:], crosses[1:])
+    _, (xs_rev, Ps_rev) = jax.lax.scan(back, init, inputs, reverse=True)
+    sm = jnp.concatenate([xs_rev, means[-1][None, :]], axis=0)
+    sc = jnp.concatenate([Ps_rev, covs[-1][None, :, :]], axis=0)
+    ok = res.success & jnp.all(jnp.isfinite(sm))
+    return UKFSmootherResult(sm, sc, means, covs, res.loglik, ok)

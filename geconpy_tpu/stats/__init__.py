@@ -22,6 +22,7 @@ from .nonlinear import (
     quadratic_drive_covariance,
 )
 from .nuts import NUTSResult, nuts_kernel, sample_nuts
+from .pmmh import PMMHResult, sample_pmmh
 from .perturbation_diagnostics import (
     eigenvalue_sensitivity,
     spectral_radius_sensitivity,

@@ -161,3 +161,41 @@ def test_ukf_flags_nonfinite():
     res = ukf_loglik(y, trans, lambda x: x, Q, H,
                      jnp.array([5.0]), jnp.eye(1))
     assert not bool(res.success)
+
+
+def test_ukf_smoother_matches_rts_on_linear_model(linear_ss):
+    """On a linear model the unscented RTS smoother must reproduce the
+    Kalman smoother."""
+    from geconpy_tpu.ops.kalman import kalman_smoother
+    from geconpy_tpu.ops.lyapunov import solve_discrete_lyapunov
+    from geconpy_tpu.ops.ukf import ukf_smoother
+
+    T, R, Z, Q, H, y = linear_ss
+    n = T.shape[0]
+    P0 = solve_discrete_lyapunov(T, R @ Q @ R.T)
+    ks = kalman_smoother(y, T, R, Q, Z, H, x0=jnp.zeros(n), P0=P0)
+    us = ukf_smoother(y, lambda x, e: T @ x + R @ e, lambda x: Z @ x,
+                      Q, H, jnp.zeros(n), P0)
+    assert bool(us.success)
+    np.testing.assert_allclose(np.asarray(us.smoothed_mean),
+                               np.asarray(ks.smoothed_mean),
+                               rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(us.smoothed_cov),
+                               np.asarray(ks.smoothed_cov),
+                               rtol=1e-4, atol=1e-8)
+
+
+def test_ukf_smoother_reduces_uncertainty(linear_ss):
+    """Smoothing can only reduce (or keep) marginal variances vs filtering
+    in a well-posed linear model."""
+    from geconpy_tpu.ops.lyapunov import solve_discrete_lyapunov
+    from geconpy_tpu.ops.ukf import ukf_smoother
+
+    T, R, Z, Q, H, y = linear_ss
+    n = T.shape[0]
+    P0 = solve_discrete_lyapunov(T, R @ Q @ R.T)
+    us = ukf_smoother(y, lambda x, e: T @ x + R @ e, lambda x: Z @ x,
+                      Q, H, jnp.zeros(n), P0)
+    f_var = np.asarray(jax.vmap(jnp.diagonal)(us.filtered_cov))
+    s_var = np.asarray(jax.vmap(jnp.diagonal)(us.smoothed_cov))
+    assert np.all(s_var <= f_var + 1e-10)

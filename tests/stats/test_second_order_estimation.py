@@ -144,9 +144,9 @@ def test_fit_order2_nuts_smoke():
     ss = DSGEStateSpace(model)
     ss.configure(observed_states=["Y", "C"], measurement_error=["Y", "C"],
                  constant_params=["alpha", "sigma_C"])
-    data, _ = ss.data_from_prior(jax.random.PRNGKey(21), periods=60)
-    res = fit(ss, data, num_chains=2, num_warmup=120, num_samples=120,
-              seed=1, order=2, pooled_adaptation=True)
+    data, _ = ss.data_from_prior(jax.random.PRNGKey(21), periods=50)
+    res = fit(ss, data, num_chains=2, num_warmup=80, num_samples=80,
+              seed=1, order=2, pooled_adaptation=True, max_depth=5)
     assert np.isfinite(np.asarray(res.logp)).all()
     assert float(np.asarray(res.diverging).mean()) < 0.25
     # chains moved and produced usable draws
