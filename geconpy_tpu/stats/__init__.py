@@ -19,6 +19,7 @@ from .nonlinear import (
     build_logpost_second_order,
     build_pf_loglik_second_order,
     build_second_order_solution_fn,
+    filter_data_second_order,
     quadratic_drive_covariance,
 )
 from .nuts import NUTSResult, nuts_kernel, sample_nuts

@@ -48,7 +48,8 @@ from ..ops.precision import highest_precision
 from ..ops.ukf import ukf_loglik
 
 __all__ = ["build_second_order_solution_fn", "build_logpost_second_order",
-           "build_pf_loglik_second_order", "quadratic_drive_covariance"]
+           "build_pf_loglik_second_order", "filter_data_second_order",
+           "quadratic_drive_covariance"]
 
 
 def quadratic_drive_covariance(G_xx, G_xu, G_uu, Sigma1, Q):
@@ -181,6 +182,47 @@ def build_logpost_second_order(ss, data, ukf_alpha: float = 1.0,
                          jnp.asarray(-jnp.inf, dtype))
 
     return logpost
+
+
+def filter_data_second_order(ss, data, params: dict | None = None,
+                             smoother: bool = False):
+    """Unscented-filter (or -smooth) the data through the pruned
+    second-order state space at one parameter point.
+
+    Role parity with ``DSGEStateSpace.filter_data`` at first order: returns
+    a pandas DataFrame of TOTAL hat-coordinate state paths (y1 + y2) labeled
+    by variable, with ``df.attrs["loglik"]`` the UKF log-likelihood and
+    ``df.attrs["y1"] / df.attrs["y2"]`` the pruned components.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..ops.ukf import ukf_smoother
+
+    if params is None:
+        u = ss.initial_position()
+    else:
+        vals = []
+        for p_ in ss.estimated:
+            if p_.name in params:
+                vals.append(float(params[p_.name]))
+            else:
+                v = p_.initial if p_.initial is not None else p_.prior.mean()
+                vals.append(float(v))
+        u = ss.unconstrain(np.asarray(vals))
+    sol = build_second_order_solution_fn(ss)(u)
+    y = jnp.asarray(data)
+    res = ukf_smoother(y, sol["transition"], sol["observe"], sol["Q"],
+                       sol["H"], sol["x0"], sol["P0"])
+    n = ss.model.functions.n_variables
+    means = res.smoothed_mean if smoother else res.filtered_mean
+    y1 = np.asarray(means[:, :n])
+    y2 = np.asarray(means[:, n:2 * n])
+    df = pd.DataFrame(y1 + y2, columns=ss.model.functions.variable_names)
+    df.attrs["loglik"] = float(res.loglik)
+    df.attrs["y1"] = y1
+    df.attrs["y2"] = y2
+    return df
 
 
 def build_pf_loglik_second_order(ss, data, n_particles: int = 4096,

@@ -176,3 +176,24 @@ def test_second_order_logpost_gates_bad_draw(rbc_ss, rbc_dataset):
     lp = float(logpost(u_bad))
     assert lp == -np.inf or np.isfinite(lp)
     assert not np.isnan(lp)
+
+
+def test_filter_data_second_order(rbc_ss, rbc_dataset):
+    """Smoothed/filtered second-order state paths: labeled, finite, loglik
+    consistent with the logpost path, and the y1+y2 split exposed."""
+    from geconpy_tpu.stats.nonlinear import filter_data_second_order
+
+    data, draw = rbc_dataset
+    df = filter_data_second_order(rbc_ss, data, params=draw, smoother=True)
+    assert list(df.columns) == rbc_ss.model.functions.variable_names
+    assert np.isfinite(df.to_numpy()).all()
+    assert np.isfinite(df.attrs["loglik"])
+    np.testing.assert_allclose(df.to_numpy(),
+                               df.attrs["y1"] + df.attrs["y2"])
+    # the smoother's forward pass is the UKF: its loglik must equal the
+    # logpost path minus the prior
+    u = rbc_ss.unconstrain(draw)
+    lp = float(jax.jit(rbc_ss.build_logpost_second_order(data))(u))
+    sol = rbc_ss.build_second_order_solution_fn()(u)
+    np.testing.assert_allclose(df.attrs["loglik"],
+                               lp - float(sol["logprior"]), rtol=1e-8)
