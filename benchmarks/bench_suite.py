@@ -171,6 +171,31 @@ class TimeSecondOrder:
         jax.block_until_ready(res2.G_xx)
 
 
+class TimeUKFLoglik:
+    """Second-order (pruned) UKF log posterior — the order-2 estimation hot
+    path (marginalized Rao-Blackwellized filter, stats/nonlinear.py)."""
+
+    params = ["rbc_estimation"]
+    param_names = ["model"]
+
+    def setup(self, model_name):
+        import geconpy_tpu
+        from geconpy_tpu.stats.statespace import DSGEStateSpace
+
+        model = geconpy_tpu.model_from_gcn(
+            geconpy_tpu.get_example_gcn(model_name), verbose=False)
+        ss = DSGEStateSpace(model)
+        ss.configure(observed_states=["Y", "C"],
+                     measurement_error=["Y", "C"])
+        data, draw = ss.data_from_prior(jax.random.PRNGKey(0), periods=200)
+        self.fn = jax.jit(ss.build_logpost_second_order(data))
+        self.u = ss.unconstrain(draw)
+        jax.block_until_ready(self.fn(self.u))
+
+    def time_ukf_loglik(self, model_name):
+        jax.block_until_ready(self.fn(self.u))
+
+
 class TimePerfectForesight:
     params = ["rbc"]
     param_names = ["model"]
@@ -195,7 +220,7 @@ class TimePerfectForesight:
 def main():
     rows = []
     for cls in [TimeParse, TimeBuild, TimeSteadyState, TimeSolve, TimeLoglik,
-                TimeSecondOrder, TimePerfectForesight]:
+                TimeSecondOrder, TimeUKFLoglik, TimePerfectForesight]:
         params = cls.params
         if isinstance(params[0], (list, tuple)):
             combos = [(m, s) for m in params[0] for s in params[1]]

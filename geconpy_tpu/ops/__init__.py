@@ -32,7 +32,14 @@ from .particle_filter import (
     systematic_resample,
 )
 from .qz_disk import DiskSplitResult, disk_function_split
-from .ukf import UKFResult, UKFSmootherResult, ukf_loglik, ukf_smoother
+from .ukf import (
+    CLUKFResult,
+    UKFResult,
+    UKFSmootherResult,
+    cl_ukf_loglik,
+    ukf_loglik,
+    ukf_smoother,
+)
 
 __all__ = [
     "VectorBijector", "make_bijector", "solve_block_tridiagonal",
@@ -49,5 +56,6 @@ __all__ = [
     "newton_solve", "root",
     "DiskSplitResult", "disk_function_split",
     "ParticleFilterResult", "particle_filter_loglik", "systematic_resample",
-    "UKFResult", "UKFSmootherResult", "ukf_loglik", "ukf_smoother",
+    "UKFResult", "UKFSmootherResult", "CLUKFResult", "ukf_loglik",
+    "ukf_smoother", "cl_ukf_loglik",
 ]

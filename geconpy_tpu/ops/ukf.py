@@ -37,7 +37,8 @@ import jax.numpy as jnp
 
 from .precision import highest_precision
 
-__all__ = ["UKFResult", "UKFSmootherResult", "ukf_loglik", "ukf_smoother"]
+__all__ = ["UKFResult", "UKFSmootherResult", "CLUKFResult",
+           "ukf_loglik", "ukf_smoother", "cl_ukf_loglik"]
 
 _LOG2PI = 1.8378770664093453
 
@@ -265,3 +266,114 @@ def ukf_smoother(y, transition: Callable, observe: Callable, Q, H,
     sc = jnp.concatenate([Ps_rev, covs[-1][None, :, :]], axis=0)
     ok = res.success & jnp.all(jnp.isfinite(sm))
     return UKFSmootherResult(sm, sc, means, covs, res.loglik, ok)
+
+
+class CLUKFResult(NamedTuple):
+    loglik: jax.Array
+    loglik_t: jax.Array
+    filtered_mean: jax.Array
+    filtered_cov: jax.Array
+    success: jax.Array
+
+
+@highest_precision
+def cl_ukf_loglik(y, A, nonlinear: Callable, Z, H, d, Q, x0, P0,
+                  n_nl: int, alpha: float = 1.0, beta: float = 2.0,
+                  kappa: float = 0.0, jitter: float = 0.0) -> CLUKFResult:
+    """Marginalized (Rao-Blackwellized) unscented filter for conditionally
+    linear dynamics with a linear observation:
+
+        z' = A z + b(z[:n_nl], eps),    y = Z z + d + eta
+
+    Only the leading ``n_nl`` state components and the shock enter
+    nonlinearly, so sigma points are drawn over that (n_nl + q)-dim
+    marginal; the conditional remainder propagates exactly through A
+    (E[(z - E[z|z_n]) g(z_n, eps)] = 0 under joint Gaussianity), and the
+    update is an exact masked Kalman step — no observation sigma points, no
+    second factorization.
+
+    This is the estimation hot path for the pruned second-order DSGE state
+    space (``stats/nonlinear.py``): z = (y1, y2, lags), n_nl = n_vars, and
+    b = (R eps, quadratic correction, 0).  At SW-2007 scale this halves the
+    sigma-point count of the generic :func:`ukf_loglik` (2(n+q)+1 vs
+    2(2n+q)+1 with L = 0) while remaining exact for the model class —
+    parity asserted against the generic filter in tests/ops/test_ukf.py.
+    """
+    y = jnp.asarray(y)
+    x0 = jnp.asarray(x0)
+    dtype = x0.dtype
+    A = jnp.asarray(A, dtype)
+    Q = jnp.asarray(Q, dtype)
+    Z = jnp.asarray(Z, dtype)
+    H = jnp.asarray(H, dtype)
+    d = jnp.zeros((Z.shape[0],), dtype) if d is None else jnp.asarray(d, dtype)
+    P0 = jnp.asarray(P0, dtype)
+    nz = x0.shape[0]
+    q = Q.shape[0]
+    L = n_nl + q
+    wm, wc, gamma = _sigma_weights(L, alpha, beta, kappa, dtype)
+    eps100 = 100.0 * jnp.finfo(dtype).eps
+    eye_nl = jnp.eye(n_nl, dtype=dtype)
+    eye_nz = jnp.eye(nz, dtype=dtype)
+    scale_q = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(Q))), 1.0)
+    chol_Q = jnp.linalg.cholesky(Q + jnp.eye(q, dtype=dtype)
+                                 * (jitter + eps100 * scale_q))
+    v_nl = jax.vmap(nonlinear)
+
+    def step(carry, y_t):
+        x, P = carry
+        P = 0.5 * (P + P.T)
+        P_nn = P[:n_nl, :n_nl]
+        scale_n = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(P_nn))), 1.0)
+        shift_n = jitter + eps100 * scale_n
+        chol_nn = jnp.linalg.cholesky(P_nn + eye_nl * shift_n)
+        # conditional slope of the full state on the nonlinear block
+        # (leading rows = identity by construction)
+        G = jax.scipy.linalg.cho_solve(
+            (chol_nn, True), P[:n_nl, :]).T                  # (nz, n_nl)
+        # sigma offsets over (z_n, eps); z_l rides the conditional mean
+        dn = gamma * chol_nn.T                               # (n_nl, n_nl)
+        de = gamma * chol_Q.T                                # (q, q)
+        deltas = jnp.concatenate([
+            jnp.zeros((1, n_nl), dtype), dn, -dn,
+            jnp.zeros((2 * q, n_nl), dtype)], axis=0)        # (2L+1, n_nl)
+        es = jnp.concatenate([
+            jnp.zeros((1 + 2 * n_nl, q), dtype), de, -de], axis=0)
+        zs = x[None, :] + deltas @ G.T                       # (2L+1, nz)
+        fs = zs @ A.T + v_nl(zs[:, :n_nl], es)               # (2L+1, nz)
+
+        x_pred = wm @ fs
+        df = fs - x_pred[None, :]
+        # conditional remainder: exact linear propagation
+        Sig_c = P - G @ P_nn @ G.T
+        P_pred = jnp.einsum("s,si,sj->ij", wc, df, df) + A @ Sig_c @ A.T
+        P_pred = 0.5 * (P_pred + P_pred.T)
+        scale_p = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(P_pred))), 1.0)
+        P_pred = P_pred + eye_nz * (jitter + eps100 * scale_p)
+
+        # exact masked Kalman update (observation is linear)
+        mask = jnp.isfinite(y_t)
+        maskf = mask.astype(dtype)
+        y_eff = jnp.where(mask, y_t, 0.0)
+        Z_eff = Z * maskf[:, None]
+        v = y_eff - Z_eff @ x_pred - d * maskf
+        PZt = P_pred @ Z_eff.T
+        S = Z_eff @ PZt + H * jnp.outer(maskf, maskf) + jnp.diag(1.0 - maskf)
+        chol_S = jnp.linalg.cholesky(S)
+        w = jax.scipy.linalg.cho_solve((chol_S, True), v)
+        K = jax.scipy.linalg.cho_solve((chol_S, True), PZt.T).T
+        x_filt = x_pred + K @ v
+        IKZ = eye_nz - K @ Z_eff
+        H_eff = H * jnp.outer(maskf, maskf) + jnp.diag(1.0 - maskf)
+        P_filt = IKZ @ P_pred @ IKZ.T + K @ H_eff @ K.T     # Joseph form
+        P_filt = 0.5 * (P_filt + P_filt.T)
+
+        logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol_S)))
+        ll_t = -0.5 * (jnp.sum(maskf) * _LOG2PI + logdet + v @ w)
+        ok = jnp.isfinite(ll_t) & jnp.all(jnp.isfinite(x_filt))
+        x_next = jnp.where(ok, x_filt, x)
+        P_next = jnp.where(ok, P_filt, P)
+        return (x_next, P_next), (ll_t, x_filt, P_filt, ok)
+
+    (_, _), (ll_t, means, covs, oks) = jax.lax.scan(step, (x0, P0), y)
+    return CLUKFResult(jnp.sum(ll_t), ll_t, means, covs, jnp.all(oks))

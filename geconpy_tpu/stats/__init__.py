@@ -22,6 +22,7 @@ from .nonlinear import (
     filter_data_second_order,
     quadratic_drive_covariance,
 )
+from .identification import IdentificationResult, iskrev_identification
 from .nuts import NUTSResult, nuts_kernel, sample_nuts
 from .pmmh import PMMHResult, sample_pmmh
 from .perturbation_diagnostics import (

@@ -145,9 +145,37 @@ def build_second_order_solution_fn(ss) -> Callable:
             stack = jnp.concatenate([total, z[2 * n:]])
             return Z @ stack + d
 
+        # conditionally-linear split for the marginalized UKF
+        # (ops/ukf.py::cl_ukf_loglik): z' = A z + b(y1, eps) with A linear
+        # and b touching only the leading y1 block and the shock
+        A_lin = jnp.zeros((nz, nz), dtype)
+        A_lin = A_lin.at[:n, :n].set(T)
+        A_lin = A_lin.at[n:2 * n, n:2 * n].set(T)
+        if L:
+            A_lin = A_lin.at[2 * n:3 * n, :n].set(eye)       # w1' = y1 + y2
+            A_lin = A_lin.at[2 * n:3 * n, n:2 * n].set(eye)
+            for j in range(L - 1):
+                A_lin = A_lin.at[(3 + j) * n:(4 + j) * n,
+                                 (2 + j) * n:(3 + j) * n].set(eye)
+
+        def nonlinear(y1, eps):
+            quad = 0.5 * jnp.einsum("ijk,j,k->i", G_xx, y1, y1) \
+                + jnp.einsum("ijk,j,k->i", G_xu, y1, eps) \
+                + 0.5 * jnp.einsum("ijk,j,k->i", G_uu, eps, eps) \
+                + 0.5 * g_ss
+            out = jnp.zeros((nz,), dtype)
+            out = out.at[:n].set(R @ eps)
+            out = out.at[n:2 * n].set(quad)
+            return out
+
+        # observation design over the flat pruned state (y1, y2, lags):
+        # y1 and y2 both load through the "current" columns of Z
+        Z_cl = jnp.concatenate([Z[:, :n], Z[:, :n], Z[:, n:]], axis=1)
+
         sol.update(G_xx=G_xx, G_xu=G_xu, G_uu=G_uu, g_ss=g_ss,
                    so_success=so.success, x0=x0, P0=P0, mu2=mu2,
-                   Sigma1=Sigma1, transition=transition, observe=observe)
+                   Sigma1=Sigma1, transition=transition, observe=observe,
+                   A_cl=A_lin, nonlinear=nonlinear, Z_cl=Z_cl)
         return sol
 
     return solve_draw
@@ -155,26 +183,49 @@ def build_second_order_solution_fn(ss) -> Callable:
 
 def build_logpost_second_order(ss, data, ukf_alpha: float = 1.0,
                                ukf_beta: float = 2.0, ukf_kappa: float = 0.0,
-                               jitter: float = 0.0) -> Callable:
+                               jitter: float = 0.0,
+                               method: str = "marginalized") -> Callable:
     """Differentiable second-order log posterior via the unscented filter.
 
     Drop-in NUTS target with the same gating semantics as the first-order
     ``build_logpost``: any failure (steady state, policy solve, instability,
     Sylvester divergence, filter blow-up) yields -inf, never an exception.
+
+    ``method="marginalized"`` (default) uses the Rao-Blackwellized filter
+    (``ops/ukf.py::cl_ukf_loglik``): the pruned system is conditionally
+    linear given (y1, eps) and its observation is linear, so sigma points
+    span only (n + q) dimensions and the update is an exact Kalman step —
+    about half the per-step work of ``method="full"`` (the generic
+    augmented-state UKF).  Both are exact on linear models and second-order
+    accurate otherwise; the marginalized form additionally propagates the
+    conditional remainder exactly.
     """
     y = jnp.asarray(data)
     if y.ndim != 2 or y.shape[1] != len(ss.observed_states):
         raise ValueError(
             f"data must be (periods, {len(ss.observed_states)}), got {y.shape}")
+    if method not in ("marginalized", "full"):
+        raise ValueError(f"method must be 'marginalized' or 'full', "
+                         f"got {method!r}")
     solve_draw = build_second_order_solution_fn(ss)
+    n_nl = ss.model.functions.n_variables
 
     @highest_precision
     def logpost(u: jnp.ndarray) -> jax.Array:
         dtype = u.dtype
         sol = solve_draw(u)
-        res = ukf_loglik(y, sol["transition"], sol["observe"], sol["Q"],
-                         sol["H"], sol["x0"], sol["P0"], alpha=ukf_alpha,
-                         beta=ukf_beta, kappa=ukf_kappa, jitter=jitter)
+        if method == "marginalized":
+            from ..ops.ukf import cl_ukf_loglik
+
+            res = cl_ukf_loglik(y, sol["A_cl"], sol["nonlinear"],
+                                sol["Z_cl"], sol["H"], sol["d"], sol["Q"],
+                                sol["x0"], sol["P0"], n_nl,
+                                alpha=ukf_alpha, beta=ukf_beta,
+                                kappa=ukf_kappa, jitter=jitter)
+        else:
+            res = ukf_loglik(y, sol["transition"], sol["observe"], sol["Q"],
+                             sol["H"], sol["x0"], sol["P0"], alpha=ukf_alpha,
+                             beta=ukf_beta, kappa=ukf_kappa, jitter=jitter)
         ok = sol["ss_success"] & sol["solver_success"] & sol["stable"] \
             & sol["so_success"] & res.success \
             & jnp.isfinite(res.loglik) & jnp.isfinite(sol["logprior"])

@@ -197,3 +197,19 @@ def test_filter_data_second_order(rbc_ss, rbc_dataset):
     sol = rbc_ss.build_second_order_solution_fn()(u)
     np.testing.assert_allclose(df.attrs["loglik"],
                                lp - float(sol["logprior"]), rtol=1e-8)
+
+
+def test_marginalized_matches_full_ukf(rbc_ss, rbc_dataset):
+    """The Rao-Blackwellized filter and the generic augmented-state UKF are
+    different sigma-point constructions of the same second-order-accurate
+    approximation: on mild RBC curvature they must agree tightly (and both
+    equal the Kalman filter exactly on linear models — see the Brock-Mirman
+    oracle above, which runs the marginalized path)."""
+    data, draw = rbc_dataset
+    u = rbc_ss.unconstrain(draw)
+    lp_m = float(jax.jit(
+        rbc_ss.build_logpost_second_order(data, method="marginalized"))(u))
+    lp_f = float(jax.jit(
+        rbc_ss.build_logpost_second_order(data, method="full"))(u))
+    assert np.isfinite(lp_m) and np.isfinite(lp_f)
+    np.testing.assert_allclose(lp_m, lp_f, rtol=1e-4)
