@@ -36,7 +36,9 @@ from .posterior import (
     posterior_autocorrelation,
     posterior_diagnostics,
     posterior_fevd,
+    posterior_girfs,
     posterior_irfs,
+    posterior_predictive,
     posterior_smoothed_states,
     prepare_mixed_frequency_data,
 )

@@ -27,6 +27,8 @@ __all__ = [
     "posterior_fevd",
     "posterior_smoothed_states",
     "posterior_diagnostics",
+    "posterior_predictive",
+    "posterior_girfs",
     "historical_shock_decomposition",
     "prepare_mixed_frequency_data",
 ]
@@ -215,6 +217,100 @@ def historical_shock_decomposition(ss_mod: DSGEStateSpace,
         out[name] = contribs[j].reshape(-1)
     out["initial"] = initial.reshape(-1)
     out["smoothed"] = smoothed.reshape(-1)
+    return out
+
+
+def posterior_predictive(ss_mod: DSGEStateSpace, result: PosteriorResult,
+                         key, periods: int = 100,
+                         max_draws: int | None = 200,
+                         quantiles=(0.05, 0.5, 0.95)) -> pd.DataFrame:
+    """Posterior predictive datasets: simulate the observables at posterior
+    draws (one simulated sample per retained draw, fresh shock and
+    measurement-noise realizations), returning per-(variable, time)
+    quantile bands.  Compare against the estimation data for predictive
+    checks — the posterior counterpart of ``data_from_prior``.
+    """
+    solve_draw = ss_mod.build_solution_fn()
+    obs_names = ss_mod.observed_states
+    k = len(obs_names)
+
+    def one_draw(u, k_draw):
+        sol = solve_draw(u)
+        T, R, Q, Z, H, d = (sol["T_aug"], sol["R_aug"], sol["Q"], sol["Z"],
+                            sol["H"], sol["d"])
+        n = T.shape[0]
+        k_eps, k_eta = jax.random.split(k_draw)
+        chol_Q = jnp.linalg.cholesky(Q)
+        eps = jax.random.normal(k_eps, (periods, Q.shape[0]),
+                                T.dtype) @ chol_Q.T
+        h_std = jnp.sqrt(jnp.diagonal(H))
+        eta = jax.random.normal(k_eta, (periods, k), T.dtype) * h_std
+
+        def step(x, inp):
+            e, m = inp
+            x_next = T @ x + R @ e
+            return x_next, Z @ x_next + d + m
+
+        _, y = jax.lax.scan(step, jnp.zeros((n,), T.dtype), (eps, eta))
+        return y
+
+    us = _flat_draws(result, max_draws)
+    keys = jax.random.split(jnp.asarray(key), len(us))
+    ys = np.asarray(jax.jit(jax.vmap(one_draw))(us, keys))  # (d, t, k)
+
+    index = pd.MultiIndex.from_product(
+        [obs_names, range(periods)], names=["variable", "time"])
+    flat = ys.transpose(2, 1, 0).reshape(len(index), len(us))
+    out = pd.DataFrame(index=index)
+    out["mean"] = flat.mean(axis=1)
+    for q in quantiles:
+        out[f"q{q}"] = np.quantile(flat, q, axis=1)
+    return out
+
+
+def posterior_girfs(ss_mod: DSGEStateSpace, result: PosteriorResult,
+                    shock: str, key, shock_size: float | None = None,
+                    periods: int = 40, n_mc: int = 128,
+                    max_draws: int | None = 100,
+                    quantiles=(0.05, 0.5, 0.95)) -> pd.DataFrame:
+    """Second-order generalized IRF posterior bands (Koop-Pesaran-Potter
+    GIRFs of the pruned system, ``models/second_order.py::generalized_irf``,
+    vmapped over posterior draws).  Completes the order-2 posterior story:
+    ``fit(order=2)`` -> GIRF bands that reflect both parameter and
+    state/shock uncertainty.
+
+    ``shock_size`` defaults to one posterior-draw standard deviation of the
+    named shock.
+    """
+    from ..models.second_order import SecondOrderResult, generalized_irf
+
+    solve_draw = ss_mod.build_second_order_solution_fn()
+    mf = ss_mod.model.functions
+    j = mf.shock_names.index(shock)
+    n_shocks = mf.n_shocks
+
+    def one_draw(u, k_draw):
+        sol = solve_draw(u)
+        res2 = SecondOrderResult(sol["G_xx"], sol["G_xu"], sol["G_uu"],
+                                 sol["g_ss"], sol["so_success"])
+        sd = jnp.sqrt(sol["Q"][j, j])
+        size = sd if shock_size is None else jnp.asarray(shock_size,
+                                                         sol["T"].dtype)
+        vec = jnp.zeros((n_shocks,), sol["T"].dtype).at[j].set(size)
+        return generalized_irf(sol["T"], sol["R"], res2, vec, sol["Q"],
+                               periods=periods, n_draws=n_mc, key=k_draw)
+
+    us = _flat_draws(result, max_draws)
+    keys = jax.random.split(jnp.asarray(key), len(us))
+    girfs = np.asarray(jax.jit(jax.vmap(one_draw))(us, keys))  # (d, t, n)
+
+    index = pd.MultiIndex.from_product(
+        [mf.variable_names, range(periods)], names=["variable", "time"])
+    flat = girfs.transpose(2, 1, 0).reshape(len(index), len(us))
+    out = pd.DataFrame(index=index)
+    out["mean"] = flat.mean(axis=1)
+    for q in quantiles:
+        out[f"q{q}"] = np.quantile(flat, q, axis=1)
     return out
 
 

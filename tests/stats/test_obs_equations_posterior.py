@@ -233,3 +233,39 @@ def test_historical_shock_decomposition(configured):
     var_shock = np.var(y_dec["epsilon_A"].values)
     var_init = np.var(y_dec["initial"].values)
     assert var_shock > var_init
+
+
+def test_posterior_predictive_bands(model):
+    """Posterior predictive simulation: bands cover the observables'
+    stationary scale and the frame is well-formed."""
+    from geconpy_tpu.stats.posterior import posterior_predictive
+
+    ss = DSGEStateSpace(model)
+    ss.configure(observed_states=["Y", "C"], measurement_error=["Y", "C"])
+    post = _fake_posterior(ss)
+    df = posterior_predictive(ss, post, jax.random.PRNGKey(0), periods=60,
+                              max_draws=8)
+    assert set(df.index.get_level_values("variable")) == {"Y", "C"}
+    assert len(df) == 2 * 60
+    assert np.isfinite(df.to_numpy()).all()
+    # quantiles ordered
+    assert (df["q0.05"] <= df["q0.5"]).all()
+    assert (df["q0.5"] <= df["q0.95"]).all()
+    # simulated spread is nonzero (real shock realizations)
+    assert df["q0.95"].std() > 0
+
+
+def test_posterior_girfs_bands(model):
+    """Second-order GIRF posterior bands: finite, labeled, nonzero response
+    of Y to a technology shock, decaying toward zero."""
+    from geconpy_tpu.stats.posterior import posterior_girfs
+
+    ss = DSGEStateSpace(model)
+    ss.configure(observed_states=["Y", "C"], measurement_error=["Y", "C"])
+    post = _fake_posterior(ss)
+    df = posterior_girfs(ss, post, "epsilon_A", jax.random.PRNGKey(1),
+                         periods=20, n_mc=32, max_draws=4)
+    assert np.isfinite(df.to_numpy()).all()
+    y_path = df.loc["Y"]["mean"].to_numpy()
+    assert abs(y_path[0]) > 1e-6            # impact response
+    assert abs(y_path[-1]) < abs(y_path[:3]).max()  # mean reversion
