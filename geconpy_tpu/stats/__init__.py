@@ -8,7 +8,7 @@ from .covariance import (
     stationary_covariance_matrix,
 )
 from .diagnostics import effective_sample_size, split_rhat, summarize_chains
-from .estimation import PosteriorResult, fit
+from .estimation import PosteriorResult, fit, fit_pmmh
 from .model_comparison import (
     find_map,
     laplace_evidence,

@@ -22,7 +22,7 @@ from .statespace import DSGEStateSpace
 
 _log = logging.getLogger(__name__)
 
-__all__ = ["fit", "PosteriorResult", "make_batched_logp_grad"]
+__all__ = ["fit", "fit_pmmh", "PosteriorResult", "make_batched_logp_grad"]
 
 
 def make_batched_logp_grad(ss_mod: DSGEStateSpace, data: np.ndarray,
@@ -199,4 +199,66 @@ def fit(
         diverging=np.asarray(res.diverging),
         accept_prob=np.asarray(res.accept_prob),
         step_size=np.asarray(res.step_size),
+    )
+
+
+def fit_pmmh(
+    ss_mod: DSGEStateSpace,
+    data: np.ndarray,
+    num_chains: int = 4,
+    num_warmup: int = 1000,
+    num_samples: int = 2000,
+    seed: int = 0,
+    n_particles: int = 4096,
+    initial_scale: float = 0.1,
+    init_jitter: float = 0.25,
+) -> PosteriorResult:
+    """Particle-marginal Metropolis-Hastings posterior of the pruned
+    second-order model (exact pseudo-marginal target, no Gaussian/UKF
+    approximation — Andrieu-Doucet-Holenstein 2010).
+
+    Gradient-free random-walk mixing: slower per effective sample than
+    ``fit(order=2)`` (UKF + NUTS), but the stationary distribution is the
+    exact particle-filter posterior — use it to validate the UKF
+    approximation or when curvature is strong.  Chains are vmapped; each
+    proposal refreshes the unbiased PF likelihood estimate
+    (``build_pf_loglik_second_order``).
+    """
+    pf = ss_mod.build_pf_loglik_second_order(data, n_particles=n_particles)
+
+    def logprior(u):
+        lp = jnp.asarray(0.0, u.dtype)
+        for i, p in enumerate(ss_mod.estimated):
+            x, logjac = p.prior.from_unconstrained(u[i])
+            lp = lp + p.prior.logpdf(x) + logjac
+        return lp
+
+    from .pmmh import sample_pmmh
+
+    key = jax.random.PRNGKey(seed)
+    k_init, k_run = jax.random.split(key)
+    init_keys = jax.random.split(k_init, num_chains)
+    inits = jnp.stack([
+        ss_mod.initial_position(jitter=init_jitter, key=init_keys[i])
+        for i in range(num_chains)
+    ])
+    res = sample_pmmh(pf, logprior, inits, k_run, num_warmup=num_warmup,
+                      num_samples=num_samples, initial_scale=initial_scale)
+
+    constrain_all = jax.jit(jax.vmap(jax.vmap(ss_mod.constrain)))
+    constrained = np.asarray(constrain_all(res.samples))
+    acc = np.asarray(res.accept_rate)
+    if acc.min() < 0.05:
+        _log.warning("PMMH chain acceptance as low as %.3f — increase "
+                     "n_particles (estimator variance) or lower "
+                     "initial_scale", acc.min())
+    n_c, n_d, _ = constrained.shape
+    return PosteriorResult(
+        samples=constrained,
+        unconstrained=np.asarray(res.samples),
+        logp=np.asarray(res.loglik),
+        param_names=ss_mod.param_labels,
+        diverging=np.zeros((n_c, n_d), dtype=bool),
+        accept_prob=np.repeat(acc[:, None], n_d, axis=1),
+        step_size=np.asarray(res.scale),
     )

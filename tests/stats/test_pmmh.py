@@ -97,3 +97,28 @@ def test_pmmh_second_order_smoke():
     assert np.isfinite(np.asarray(res.samples)).all()
     assert np.isfinite(np.asarray(res.loglik)).all()
     assert float(np.asarray(res.accept_rate).mean()) > 0.0
+
+
+def test_fit_pmmh_wrapper_smoke():
+    """fit_pmmh returns a standard PosteriorResult (constrained samples,
+    summary machinery) from the second-order PF posterior."""
+    import pathlib
+
+    from geconpy_tpu import model_from_gcn
+    from geconpy_tpu.stats.estimation import fit_pmmh
+    from geconpy_tpu.stats.statespace import DSGEStateSpace
+
+    DATA = pathlib.Path(__file__).parents[2] / "geconpy_tpu" / "data"
+    model = model_from_gcn(str(DATA / "rbc_estimation.gcn"), verbose=False)
+    ss = DSGEStateSpace(model)
+    ss.configure(observed_states=["Y"], measurement_error=["Y"],
+                 constant_params=["alpha", "sigma_C", "sigma_A"])
+    data, _ = ss.data_from_prior(jax.random.PRNGKey(4), periods=40)
+
+    res = fit_pmmh(ss, data, num_chains=2, num_warmup=30, num_samples=40,
+                   n_particles=256, seed=2)
+    assert res.samples.shape == (2, 40, ss.n_estimated)
+    assert np.isfinite(res.samples).all()
+    assert np.isfinite(res.logp).all()
+    df = res.summary()
+    assert set(df.index) == set(ss.param_labels)
