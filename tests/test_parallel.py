@@ -60,3 +60,35 @@ def test_sharded_prior_solvability_sweep():
     assert ok.shape == (14,)
     assert bool(jnp.all(ok[:13]))
     assert not bool(ok[13])
+
+
+def test_sharded_second_order_logpost():
+    """Second-order (UKF) log posteriors shard over the 8-device mesh the
+    same way the linear path does: chains/draws data-parallel, per-draw
+    -inf gating intact under shard_map."""
+    import pathlib
+
+    from geconpy_tpu import model_from_gcn
+    from geconpy_tpu.stats.statespace import DSGEStateSpace
+
+    DATA = pathlib.Path(__file__).parents[1] / "geconpy_tpu" / "data"
+    model = model_from_gcn(str(DATA / "rbc_estimation.gcn"), verbose=False)
+    ss = DSGEStateSpace(model)
+    ss.configure(observed_states=["Y"], measurement_error=["Y"],
+                 constant_params=["alpha", "sigma_C"])
+    data, _ = ss.data_from_prior(jax.random.PRNGKey(9), periods=40)
+    logpost = ss.build_logpost_second_order(data)
+
+    mesh = make_mesh(8)
+    u0 = ss.initial_position()
+    us = u0[None, :] + 0.05 * jax.random.normal(
+        jax.random.PRNGKey(0), (8, len(u0)))
+    # one deliberately hopeless draw must gate to -inf, not poison the batch
+    us = us.at[3].set(jnp.full((len(u0),), 40.0))
+
+    vals = pvmap(logpost, mesh)(shard_batch(us, mesh))
+    vals = np.asarray(vals)
+    ref = np.asarray(jax.vmap(logpost)(us))
+    np.testing.assert_allclose(vals, ref, rtol=1e-6)
+    assert np.isfinite(vals[:3]).all() and np.isfinite(vals[4:]).all()
+    assert not np.isnan(vals[3])
