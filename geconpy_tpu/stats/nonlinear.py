@@ -184,12 +184,17 @@ def build_second_order_solution_fn(ss) -> Callable:
 def build_logpost_second_order(ss, data, ukf_alpha: float = 1.0,
                                ukf_beta: float = 2.0, ukf_kappa: float = 0.0,
                                jitter: float = 0.0,
-                               method: str = "marginalized") -> Callable:
+                               method: str = "marginalized",
+                               remat: bool = True) -> Callable:
     """Differentiable second-order log posterior via the unscented filter.
 
     Drop-in NUTS target with the same gating semantics as the first-order
     ``build_logpost``: any failure (steady state, policy solve, instability,
     Sylvester divergence, filter blow-up) yields -inf, never an exception.
+
+    ``remat=True`` (default) recomputes filter steps in the backward pass
+    instead of storing per-step intermediates — batched NUTS gradients at
+    batch 512 x 200 periods otherwise exceed a 16GB chip's HBM (measured).
 
     ``method="marginalized"`` (default) uses the Rao-Blackwellized filter
     (``ops/ukf.py::cl_ukf_loglik``): the pruned system is conditionally
@@ -221,11 +226,12 @@ def build_logpost_second_order(ss, data, ukf_alpha: float = 1.0,
                                 sol["Z_cl"], sol["H"], sol["d"], sol["Q"],
                                 sol["x0"], sol["P0"], n_nl,
                                 alpha=ukf_alpha, beta=ukf_beta,
-                                kappa=ukf_kappa, jitter=jitter)
+                                kappa=ukf_kappa, jitter=jitter, remat=remat)
         else:
             res = ukf_loglik(y, sol["transition"], sol["observe"], sol["Q"],
                              sol["H"], sol["x0"], sol["P0"], alpha=ukf_alpha,
-                             beta=ukf_beta, kappa=ukf_kappa, jitter=jitter)
+                             beta=ukf_beta, kappa=ukf_kappa, jitter=jitter,
+                             remat=remat)
         ok = sol["ss_success"] & sol["solver_success"] & sol["stable"] \
             & sol["so_success"] & res.success \
             & jnp.isfinite(res.loglik) & jnp.isfinite(sol["logprior"])

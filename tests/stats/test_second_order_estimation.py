@@ -213,3 +213,20 @@ def test_marginalized_matches_full_ukf(rbc_ss, rbc_dataset):
         rbc_ss.build_logpost_second_order(data, method="full"))(u))
     assert np.isfinite(lp_m) and np.isfinite(lp_f)
     np.testing.assert_allclose(lp_m, lp_f, rtol=1e-4)
+
+
+@pytest.mark.parametrize("method", ["marginalized", "full"])
+def test_remat_matches_stored_value_and_grad(rbc_ss, rbc_dataset, method):
+    """jax.checkpoint on the filter scan body must be a pure memory/compute
+    trade: value and gradient identical to the stored-intermediates path."""
+    data, draw = rbc_dataset
+    u = rbc_ss.unconstrain(draw)
+    vg_r = jax.jit(jax.value_and_grad(
+        rbc_ss.build_logpost_second_order(data, method=method, remat=True)))
+    vg_s = jax.jit(jax.value_and_grad(
+        rbc_ss.build_logpost_second_order(data, method=method, remat=False)))
+    v_r, g_r = vg_r(u)
+    v_s, g_s = vg_s(u)
+    np.testing.assert_allclose(float(v_r), float(v_s), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(g_r), np.asarray(g_s),
+                               rtol=1e-7, atol=1e-9)
