@@ -11,7 +11,11 @@ periods, rematerialized filter scan).  Run on the real TPU chip:
 residuals of the 200-step filter otherwise exceed HBM (measured 17.6G).
 """
 
+import pathlib
+import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).parents[1]))
 
 import jax
 import jax.numpy as jnp

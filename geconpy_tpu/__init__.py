@@ -14,15 +14,33 @@ from .analysis.simulate import impulse_response_function, simulate
 from .lang import parse_gcn, print_model
 from .models.model import Model, PolicySolution, model_from_gcn
 from .models.primitives import ModelPrimitives, load_gcn, load_gcn_file
-from .stats.covariance import autocovariance_matrix, stationary_covariance_matrix
+from .models.validation import check_steady_state
+from .stats.covariance import (
+    autocorrelation_matrix,
+    autocovariance_matrix,
+    build_Q_matrix,
+    stationary_covariance_matrix,
+)
 from .stats.estimation import PosteriorResult, fit
 from .stats.perturbation_diagnostics import (
+    check_bk_condition,
+    eigenvalue_sensitivity,
     prior_solvability_check,
     solvability_check,
     summarize_perturbation_solution,
 )
-from .stats.statespace import DSGEStateSpace, statespace_from_gcn
+from .stats.posterior import prepare_mixed_frequency_data
+from .stats.sampling import (
+    bounds_from_priors,
+    sample_from_priors,
+    sample_from_priors_qmc,
+    sample_uniform,
+    sample_uniform_from_priors,
+)
+from .stats.statespace import DSGEStateSpace, data_from_prior, statespace_from_gcn
 from .symbolic import SteadyStateResults, SymbolDictionary, TimeAwareSymbol
+from .utils.formatting import matrix_to_dataframe
+from .utils.reporting import print_gcn_file, print_steady_state
 
 
 def get_example_gcn(name: str = "rbc") -> str:
@@ -64,4 +82,19 @@ __all__ = [
     "prior_solvability_check",
     "summarize_perturbation_solution",
     "get_example_gcn",
+    "autocorrelation_matrix",
+    "bounds_from_priors",
+    "build_Q_matrix",
+    "check_bk_condition",
+    "check_steady_state",
+    "data_from_prior",
+    "eigenvalue_sensitivity",
+    "matrix_to_dataframe",
+    "prepare_mixed_frequency_data",
+    "print_gcn_file",
+    "print_steady_state",
+    "sample_from_priors",
+    "sample_from_priors_qmc",
+    "sample_uniform",
+    "sample_uniform_from_priors",
 ]

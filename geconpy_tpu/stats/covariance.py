@@ -17,12 +17,14 @@ from ..ops.lyapunov import solve_discrete_lyapunov
 
 __all__ = [
     "build_shock_cov",
+    "build_Q_matrix",
     "stationary_covariance",
     "autocovariance",
     "autocorrelation",
     "fevd",
     "stationary_covariance_matrix",
     "autocovariance_matrix",
+    "autocorrelation_matrix",
 ]
 
 
@@ -36,6 +38,44 @@ def build_shock_cov(n_shocks: int, shock_std=None, shock_cov=None,
     else:
         stds = jnp.broadcast_to(jnp.asarray(shock_std, dtype=dtype), (n_shocks,))
     return jnp.diag(stds**2)
+
+
+def build_Q_matrix(model_shocks, shock_std_dict=None, shock_cov_matrix=None,
+                   shock_std=None) -> np.ndarray:
+    """Reconcile the user-facing shock-variance options into one Q matrix.
+
+    Reference-compatible facade (``gEconpy/model/statistics/covariance.py:20``)
+    over :func:`build_shock_cov`: ``model_shocks`` is a list of shock names
+    (or symbols with ``base_name``), and exactly one (or zero) of
+    ``shock_std_dict`` / ``shock_cov_matrix`` / ``shock_std`` may be given.
+    Unnamed shocks under ``shock_std_dict`` get zero variance, as in the
+    reference.  With no option at all, Q = I.
+    """
+    names = [getattr(s, "base_name", str(s)) for s in model_shocks]
+    k = len(names)
+    given = [x is not None for x in (shock_std_dict, shock_cov_matrix, shock_std)]
+    if sum(given) > 1:
+        raise ValueError("specify at most one of shock_std_dict, "
+                         "shock_cov_matrix, shock_std")
+    if shock_cov_matrix is not None:
+        Q = np.asarray(shock_cov_matrix, dtype=float)
+        if Q.shape != (k, k):
+            raise ValueError(f"shock_cov_matrix must be ({k}, {k}), "
+                             f"got {Q.shape}")
+        return Q
+    if shock_std_dict is not None:
+        unknown = set(shock_std_dict) - set(names)
+        if unknown:
+            raise ValueError(f"shock_std_dict names not in the model: "
+                             f"{sorted(unknown)}")
+        stds = np.zeros(k)
+        for name, sd in shock_std_dict.items():
+            stds[names.index(name)] = float(sd)
+        return np.diag(stds**2)
+    if shock_std is not None:
+        stds = np.broadcast_to(np.asarray(shock_std, dtype=float), (k,))
+        return np.diag(stds**2)
+    return np.eye(k)
 
 
 def stationary_covariance(T, R, Q):
@@ -116,3 +156,11 @@ def autocovariance_matrix(solution, n_lags: int = 10, shock_std=None,
         [range(n_lags), solution.T.columns], names=["lag", "variable"])
     return pd.DataFrame(arr.reshape(-1, arr.shape[-1]), index=index,
                         columns=solution.T.columns)
+
+
+def autocorrelation_matrix(solution, n_lags: int = 10, shock_std=None,
+                           shock_cov=None) -> pd.DataFrame:
+    """Labeled autocorrelation matrices Gamma_k / (sd sdᵀ), k = 0..n_lags-1
+    (reference name: ``gEconpy.autocorrelation_matrix``)."""
+    return autocovariance_matrix(solution, n_lags=n_lags, shock_std=shock_std,
+                                 shock_cov=shock_cov, correlation=True)

@@ -25,7 +25,7 @@ from ..ops.tolerances import success_tol
 from .sampling import sample_from_priors, sample_from_priors_qmc, \
     sample_uniform_from_priors
 
-__all__ = ["solvability_check", "prior_solvability_check",
+__all__ = ["check_bk_condition", "solvability_check", "prior_solvability_check",
            "summarize_perturbation_solution", "eigenvalue_sensitivity",
            "spectral_radius_sensitivity"]
 
@@ -255,3 +255,10 @@ def eigenvalue_sensitivity(model: Model, **updates) -> pd.DataFrame:
     df.attrs["eigenvalues"] = re + 1j * im
     df.attrs["modulus"] = mod
     return df
+
+
+def check_bk_condition(model: Model, verbose: bool = True, **updates):
+    """Standalone facade over :meth:`Model.check_bk_condition` (the reference
+    exports a module-level ``check_bk_condition``,
+    ``gEconpy/model/statistics/perturbation_diagnostics.py:193``)."""
+    return model.check_bk_condition(verbose=verbose, **updates)

@@ -16,6 +16,7 @@ from ..dists import Distribution
 __all__ = [
     "bounds_from_priors",
     "sample_from_priors",
+    "sample_uniform",
     "sample_uniform_from_priors",
     "sample_from_priors_qmc",
 ]
@@ -51,6 +52,29 @@ def _qmc_engine(method: str, dim: int, seed: int):
     if method in ("poisson", "poisson_disk"):
         return qmc.PoissonDisk(d=dim, seed=seed)
     raise ValueError(f"unknown QMC method {method!r}; use lhs/sobol/halton/poisson")
+
+
+def sample_uniform(param_bounds: dict[str, tuple[float, float]],
+                   n_draws: int = 256, method: str = "lhs", seed: int = 0
+                   ) -> dict[str, np.ndarray]:
+    """Space-filling (or plain-random) draws within explicit per-parameter
+    bounds (reference: ``gEconpy/model/sampling.py:72``).
+
+    ``method`` is one of ``"random"``, ``"lhs"``, ``"sobol"``, ``"halton"``,
+    ``"poisson"``/``"poisson_disk"``.
+    """
+    names = list(param_bounds)
+    lows = np.array([param_bounds[n][0] for n in names], dtype=float)
+    highs = np.array([param_bounds[n][1] for n in names], dtype=float)
+    if np.any(highs <= lows):
+        bad = [n for n in names if param_bounds[n][1] <= param_bounds[n][0]]
+        raise ValueError(f"upper bound must exceed lower bound for {bad}")
+    if method.lower() == "random":
+        unit = np.random.default_rng(seed).uniform(size=(n_draws, len(names)))
+    else:
+        unit = _qmc_engine(method, len(names), seed).random(n_draws)
+    scaled = lows + unit * (highs - lows)
+    return {n: scaled[:, i] for i, n in enumerate(names)}
 
 
 def sample_uniform_from_priors(priors: dict[str, Distribution],

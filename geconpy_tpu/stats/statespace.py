@@ -37,7 +37,7 @@ from ..ops.lyapunov import solve_discrete_lyapunov
 _log = logging.getLogger(__name__)
 
 __all__ = ["DSGEStateSpace", "EstimatedParameter", "LogPostExtras",
-           "statespace_from_gcn"]
+           "statespace_from_gcn", "data_from_prior"]
 
 
 @dataclass(frozen=True)
@@ -1204,3 +1204,15 @@ def statespace_from_gcn(source_or_path, verbose: bool = True,
     if configure_kwargs:
         ss.configure(**configure_kwargs)
     return ss
+
+
+def data_from_prior(statespace: DSGEStateSpace, key=None, periods: int = 200,
+                    params: dict | None = None):
+    """Standalone facade over :meth:`DSGEStateSpace.data_from_prior`
+    (reference exports a module-level ``data_from_prior``,
+    ``gEconpy/model/statespace.py:1324``)."""
+    import jax as _jax
+
+    if key is None:
+        key = _jax.random.PRNGKey(0)
+    return statespace.data_from_prior(key, periods=periods, params=params)

@@ -10,7 +10,7 @@ from __future__ import annotations
 import sympy as sp
 
 __all__ = ["build_report", "print_steady_state", "model_to_html",
-           "block_to_html"]
+           "block_to_html", "print_gcn_file"]
 
 
 def build_report(model) -> str:
@@ -120,3 +120,32 @@ def model_to_html(model) -> str:
     for block in model.primitives.blocks.values():
         parts.append(block_to_html(block))
     return "\n".join(parts)
+
+
+def print_gcn_file(source_or_path) -> str:
+    """Render a GCN file as collapsible LaTeX HTML (notebook display).
+
+    Role parity with ``gEconpy/parser/html.py:150``: parses the file (no
+    numeric compilation) and renders each block's definitions, controls,
+    objective, constraints, identities, shocks and calibration.  Displays
+    inline when IPython is available; always returns the HTML string.
+    """
+    import os
+
+    from ..models.primitives import load_gcn, load_gcn_file
+
+    if os.path.exists(str(source_or_path)) or str(source_or_path).endswith(".gcn"):
+        primitives = load_gcn_file(source_or_path)
+    else:
+        primitives = load_gcn(source_or_path)
+    parts = []
+    for block in primitives.blocks.values():
+        parts.append(block_to_html(block))
+    html = "\n".join(parts)
+    try:
+        from IPython.display import HTML, display
+
+        display(HTML(html))
+    except Exception:
+        pass
+    return html
