@@ -5,8 +5,11 @@ Prints one JSON line per run.  Runs on the real TPU (float32).
 """
 
 import json
+import pathlib
 import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).parents[1]))
 
 import jax
 import jax.numpy as jnp

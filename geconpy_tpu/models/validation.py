@@ -51,7 +51,7 @@ def evaluate_steady_state_residuals(model, steady_state, **parameter_updates
 
 def check_steady_state(model, steady_state=None,
                        steady_state_kwargs: dict | None = None,
-                       tol: float = _FLOAT_ZERO,
+                       tol: float | None = None,
                        **parameter_updates) -> bool:
     """Verify a steady state satisfies every model equation.
 
@@ -67,6 +67,12 @@ def check_steady_state(model, steady_state=None,
 
     resid = evaluate_steady_state_residuals(model, steady_state,
                                             **parameter_updates)
+    if tol is None:
+        # dtype-aware: 1e-8 in float64, ~1e-4 when the backend solved in
+        # float32 (TPU default) — see ops/tolerances.py
+        from ..ops.tolerances import success_tol
+
+        tol = success_tol(resid.dtype, _FLOAT_ZERO)
     bad = np.abs(resid) > tol
     if not bad.any():
         _log.info("Steady state successfully found! (max |resid| %.3e)",

@@ -30,6 +30,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .linalg import gj_inverse, gj_solve
 from .precision import highest_precision
 
 __all__ = ["cycle_reduction", "selection_matrix", "solve_adjoint_sylvester",
@@ -127,9 +128,11 @@ def solve_adjoint_sylvester(M, C, T, G, iters: int = 30):
     """
     import numpy as np
 
-    Mt_fac = jax.scipy.linalg.lu_factor(M.T)
-    S = -jax.scipy.linalg.lu_solve(Mt_fac, C.T)
-    W0 = jax.scipy.linalg.lu_solve(Mt_fac, G)
+    # one explicit inverse (unrolled pivoted Gauss-Jordan — batched LU is
+    # sequential per element on TPU) reused for both right-hand sides
+    Mt_inv = gj_inverse(M.T)
+    S = -(Mt_inv @ C.T)
+    W0 = Mt_inv @ G
     eps = float(np.finfo(np.dtype(W0.dtype)).eps)
 
     def cond(carry):
@@ -190,8 +193,8 @@ def cycle_reduction(A, B, C, tol: float = 1e-12, maxiter: int = 100
 def selection_matrix(B, C, T, D):
     """Shock-impact matrix  R = -(B + C T)⁻¹ D.
 
-    Role parity with ``gEconpy/solvers/shared.py:74``.  Plain ``solve`` —
-    JAX differentiates it exactly.
+    Role parity with ``gEconpy/solvers/shared.py:74``.  Batched-TPU-friendly
+    Gauss-Jordan solve with the exact implicit-adjoint VJP.
     """
     return -jnp.linalg.solve(B + C @ T, D)
 
