@@ -1,6 +1,7 @@
 """Matplotlib plotting layer.
 
-Role parity with ``gEconpy/plotting.py`` (plot_simulation:202, plot_irf:393,
+Role parity with ``gEconpy/plotting.py`` (plot_timeseries:149,
+plot_simulation:202, plot_irf:393,
 plot_solvability:573, plot_eigenvalues:689, plot_covariance_matrix:1138,
 plot_heatmap:1204, plot_acf:1454, plot_corner:1680, plot_kalman_filter:1788,
 plot_priors:1876, plot_posterior_with_prior:1932, plot_estimated_matrix:1979,
@@ -14,6 +15,7 @@ import numpy as np
 
 __all__ = [
     "prepare_gridspec_figure",
+    "plot_timeseries",
     "plot_simulation",
     "plot_irf",
     "plot_eigenvalues",
@@ -41,7 +43,7 @@ def _plt():
 
 def prepare_gridspec_figure(n_plots: int, n_cols: int = 3, figsize=None,
                             sharex: bool = False, sharey: bool = False,
-                            suptitle: str | None = None):
+                            suptitle: str | None = None, **fig_kwargs):
     """Figure + axes grid sized for ``n_plots`` panels.
 
     ``sharex``/``sharey`` share the axes across panels (role parity with the
@@ -53,7 +55,7 @@ def prepare_gridspec_figure(n_plots: int, n_cols: int = 3, figsize=None,
     if figsize is None:
         figsize = (4 * n_cols, 2.6 * n_rows)
     fig, axes = plt.subplots(n_rows, n_cols, figsize=figsize, squeeze=False,
-                             sharex=sharex, sharey=sharey)
+                             sharex=sharex, sharey=sharey, **fig_kwargs)
     flat = axes.ravel()
     for idx in range(n_plots, len(flat)):
         flat[idx].set_visible(False)
@@ -70,6 +72,36 @@ def _hdi_band(draws_2d: np.ndarray, ci: float):
     lo_q, hi_q = (1 - ci) / 2, 1 - (1 - ci) / 2
     return (np.quantile(draws_2d, lo_q, axis=0),
             np.quantile(draws_2d, hi_q, axis=0))
+
+
+def plot_timeseries(df, variables=None, n_cols: int | None = None,
+                    fig_kwargs: dict | None = None, sharex: bool = True,
+                    **line_kwargs):
+    """One panel per column of a plain time-series DataFrame — role parity
+    with ``gEconpy/plotting.py:149`` (plot_timeseries).
+
+    ``df``'s index is the time axis (integers or dates both work; a
+    DatetimeIndex gets year-major date ticks like the reference).  Extra
+    ``line_kwargs`` pass through to ``Axes.plot``."""
+    import pandas as pd
+
+    variables = list(variables) if variables is not None else list(df.columns)
+    if n_cols is None:
+        n_cols = min(4, len(variables))
+    fig, axes = prepare_gridspec_figure(len(variables), n_cols, sharex=sharex,
+                                        **(fig_kwargs or {}))
+    is_dates = isinstance(df.index, pd.DatetimeIndex)
+    for ax, var in zip(axes, variables):
+        ax.plot(df.index, df[var].values, **line_kwargs)
+        ax.set_title(var)
+        if is_dates:
+            from matplotlib.dates import DateFormatter, YearLocator
+
+            span_years = max(1, (df.index[-1] - df.index[0]).days // 365)
+            ax.xaxis.set_major_locator(YearLocator(max(1, span_years // 6)))
+            ax.xaxis.set_major_formatter(DateFormatter("%Y"))
+    fig.tight_layout()
+    return fig
 
 
 def plot_simulation(simulation_df, variables=None, n_cols: int = 3,

@@ -196,7 +196,7 @@ def selection_matrix(B, C, T, D):
     Role parity with ``gEconpy/solvers/shared.py:74``.  Batched-TPU-friendly
     Gauss-Jordan solve with the exact implicit-adjoint VJP.
     """
-    return -jnp.linalg.solve(B + C @ T, D)
+    return -gj_solve(B + C @ T, D)
 
 
 def solve_policy_cycle_reduction(A, B, C, D, tol: float = 1e-12,

@@ -244,3 +244,38 @@ def test_plot_shock_decomposition_smoke():
     fig2 = plot_shock_decomposition(df, variables=["Y"])
     assert len([a for a in fig2.axes if a.get_visible()]) == 1
     plt.close(fig2)
+
+
+@pytest.mark.parametrize(
+    "kwargs, n_axes",
+    [({}, 3),
+     ({"variables": ["Y", "C"]}, 2),
+     ({"fig_kwargs": {"figsize": (8, 6), "dpi": 80}, "color": "tab:green"}, 3)],
+    ids=["defaults", "subset", "fig_and_line_kwargs"],
+)
+def test_plot_timeseries(kwargs, n_axes):
+    """Mirror of the reference's plot_timeseries cases
+    (tests/test_plotting.py:302-312)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import pandas as pd
+
+    rng = np.random.default_rng(0)
+    idx = pd.date_range("1980-01-01", periods=80, freq="QS")
+    df = pd.DataFrame(rng.normal(size=(80, 3)), index=idx,
+                      columns=["Y", "C", "K"])
+    fig = plotting.plot_timeseries(df, **kwargs)
+    assert len([a for a in fig.axes if a.get_visible()]) == n_axes
+    if "color" in kwargs:
+        ax0 = [a for a in fig.axes if a.get_visible()][0]
+        import matplotlib.colors as mcolors
+
+        assert mcolors.to_hex(ax0.lines[0].get_color()) == \
+            mcolors.to_hex("tab:green")
+    plt.close(fig)
+
+    fig2 = plotting.plot_timeseries(df.reset_index(drop=True), **kwargs)
+    assert len([a for a in fig2.axes if a.get_visible()]) == n_axes
+    plt.close(fig2)
