@@ -44,7 +44,6 @@ def _gj_elimination(M: jax.Array, B: jax.Array) -> jax.Array:
     return A[:, n:]
 
 
-@jax.custom_vjp
 def gj_solve(M: jax.Array, B: jax.Array) -> jax.Array:
     """Solve ``M X = B`` by unrolled partially-pivoted Gauss-Jordan.
 
@@ -53,26 +52,24 @@ def gj_solve(M: jax.Array, B: jax.Array) -> jax.Array:
     over any leading vmap batch — replacing ``lu_factor``/``lu_solve``
     (sequential per batch element on TPU) on batched hot paths.
 
-    Differentiable with the implicit linear-solve adjoint (``B̄ = M⁻ᵀ X̄``,
-    ``M̄ = -B̄ Xᵀ``) rather than unrolled-elimination autodiff, so the
-    backward pass is one more Gauss-Jordan solve instead of n stored
-    rank-1 updates.
+    Wrapped in ``lax.custom_linear_solve`` so BOTH autodiff modes use the
+    implicit linear-solve rules (tangent/adjoint = one more Gauss-Jordan
+    solve) instead of unrolled-elimination autodiff.  Forward mode matters:
+    ``jax.hessian`` / HVP-based machinery (MAP Newton polish, Laplace
+    evidence, curvature-seeded NUTS mass) runs jacfwd over the log
+    posterior, and a ``custom_vjp`` here would reject it.
     """
-    return _gj_elimination(M, B)
 
+    def matvec(x):
+        return M @ x
 
-def _gj_solve_fwd(M, B):
-    X = _gj_elimination(M, B)
-    return X, (M, X)
+    def solve(_mv, b):
+        return _gj_elimination(M, b)
 
+    def transpose_solve(_vm, b):
+        return _gj_elimination(M.T, b)
 
-def _gj_solve_bwd(residuals, X_bar):
-    M, X = residuals
-    B_bar = _gj_elimination(M.T, X_bar)
-    return (-B_bar @ X.T, B_bar)
-
-
-gj_solve.defvjp(_gj_solve_fwd, _gj_solve_bwd)
+    return jax.lax.custom_linear_solve(matvec, B, solve, transpose_solve)
 
 
 def gj_inverse(M: jax.Array) -> jax.Array:

@@ -6,8 +6,9 @@ marginal-density machinery; no counterpart in the reference gEconpy):
 - **Laplace approximation** at the posterior mode:
   log p(y) ~= log p(y, theta*) + d/2 log(2 pi) - 1/2 log |-H(theta*)|,
   with the mode found by jitted Adam + Newton polish and the Hessian by
-  ``jax.hessian`` on the unconstrained log posterior (exact, not finite
-  differences).
+  ``jax.hessian`` on the unconstrained log posterior where the graph
+  supports forward mode, else central differences of the exact
+  reverse-mode gradient (see :func:`neg_hessian_fn`).
 - **Modified harmonic mean** (Geweke 1999) over posterior draws:
   1 / p(y) = E_post[ f(theta) / p(y, theta) ]  for any density f inside the
   posterior support; f is the fitted Gaussian truncated to its central
@@ -28,9 +29,43 @@ import numpy as np
 from ..ops.precision import highest_precision
 
 __all__ = ["find_map", "laplace_evidence", "modified_harmonic_mean",
-           "marginal_likelihood"]
+           "marginal_likelihood", "neg_hessian_fn"]
 
 _LOG2PI = 1.8378770664093453
+
+
+def neg_hessian_fn(logpost_fn, u_proto):
+    """Hessian of ``-logpost`` — exact where the graph allows, FD else.
+
+    ``jax.hessian`` (forward-over-reverse) is exact, but forward mode is
+    rejected by any ``custom_vjp`` in the graph (e.g. the cyclostationary
+    mixed-frequency filter), and reverse-over-reverse is blocked by the
+    ``while_loop``s inside the implicit adjoints.  Those configurations get
+    central finite differences of the *exact reverse-mode gradient* —
+    2·dim vmapped gradient evaluations, accurate to ~eps^(2/3) relative
+    (the standard Dynare approach for the Hessian at the mode).  The choice
+    is made once per logpost by probing with ``jax.eval_shape``.
+    """
+    exact = jax.hessian(lambda x: -logpost_fn(x))
+    try:
+        jax.eval_shape(exact, jax.ShapeDtypeStruct(
+            jnp.shape(u_proto), jnp.asarray(u_proto).dtype))
+        return exact
+    except TypeError:
+        pass  # forward-mode rejected: custom_vjp in the graph
+
+    grad = jax.grad(lambda x: -logpost_fn(x))
+
+    def fd_hessian(u):
+        u = jnp.asarray(u)
+        eps = jnp.finfo(u.dtype).eps
+        h = eps ** (1.0 / 3.0) * jnp.maximum(1.0, jnp.abs(u))
+        E = jnp.eye(u.shape[0], dtype=u.dtype) * h[:, None]
+        rows = jax.vmap(lambda e: grad(u + e) - grad(u - e))(E)
+        H = rows / (2.0 * h[:, None])
+        return 0.5 * (H + H.T)
+
+    return fd_hessian
 
 
 def find_map(logpost_fn, u0, adam_steps: int = 500, newton_steps: int = 5,
@@ -40,6 +75,7 @@ def find_map(logpost_fn, u0, adam_steps: int = 500, newton_steps: int = 5,
     (indefinite Hessian far from the mode) are rejected."""
     u0 = jnp.asarray(u0)
     value_and_grad = jax.value_and_grad(lambda u: -logpost_fn(u))
+    neg_hess = neg_hessian_fn(logpost_fn, u0)
 
     @jax.jit
     def adam(u):
@@ -64,7 +100,7 @@ def find_map(logpost_fn, u0, adam_steps: int = 500, newton_steps: int = 5,
     def newton(u):
         def step(u, _):
             f, g = value_and_grad(u)
-            H = jax.hessian(lambda x: -logpost_fn(x))(u)
+            H = neg_hess(u)
             delta = jnp.linalg.solve(H, g)
             u_new = u - delta
             f_new, _ = value_and_grad(u_new)
@@ -82,7 +118,7 @@ def laplace_evidence(logpost_fn, u_mode) -> float:
     """log p(y) by Laplace approximation at the (unconstrained) mode."""
     u_mode = jnp.asarray(u_mode)
     d = u_mode.shape[0]
-    H = jax.jit(jax.hessian(lambda u: -logpost_fn(u)))(u_mode)
+    H = jax.jit(neg_hessian_fn(logpost_fn, u_mode))(u_mode)
     sign, logdet = jnp.linalg.slogdet(H)
     logp = logpost_fn(u_mode)
     out = float(logp + 0.5 * d * _LOG2PI - 0.5 * logdet)

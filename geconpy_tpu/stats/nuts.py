@@ -305,7 +305,10 @@ def _hessian_diag_inv_mass(logp_grad, q):
     """Diagonal-curvature mass initialization: inv_mass_i = 1 / |d2(-logp)/dq_i2|.
 
     The diagonal Hessian comes from dim forward-over-reverse JVPs of the
-    gradient — cheap at DSGE dimensions.  Coordinates with non-positive or
+    gradient — cheap at DSGE dimensions — falling back to central
+    differences of the exact gradient when the graph rejects forward mode
+    (custom_vjp filters, e.g. cyclostationary).  Coordinates with
+    non-positive or
     non-finite curvature (off-mode saddle directions) fall back to unit.
     The windowed Welford estimator only has to REFINE this, not discover
     scale ratios of 1e4 from scratch — which its doubling windows cannot do
@@ -314,10 +317,21 @@ def _hessian_diag_inv_mass(logp_grad, q):
     """
     dim = q.shape[0]
     eye = jnp.eye(dim, dtype=q.dtype)
+    try:  # forward-over-reverse HVP; rejected if the graph has custom_vjp
+        jax.eval_shape(
+            lambda v: jax.jvp(lambda x: logp_grad(x)[1], (q,), (v,))[1],
+            jax.ShapeDtypeStruct(q.shape, q.dtype))
 
-    def hvp_diag(v):
-        _, tangent = jax.jvp(lambda x: logp_grad(x)[1], (q,), (v,))
-        return jnp.dot(v, tangent)
+        def hvp_diag(v):
+            _, tangent = jax.jvp(lambda x: logp_grad(x)[1], (q,), (v,))
+            return jnp.dot(v, tangent)
+    except TypeError:  # central differences of the exact gradient instead
+        h = jnp.finfo(q.dtype).eps ** (1.0 / 3.0)
+
+        def hvp_diag(v):
+            gp = logp_grad(q + h * v)[1]
+            gm = logp_grad(q - h * v)[1]
+            return jnp.dot(v, gp - gm) / (2.0 * h)
 
     neg_curv = -jax.vmap(hvp_diag)(eye)       # d2(-logp)/dq_i2
     good = jnp.isfinite(neg_curv) & (neg_curv > 1e-12)

@@ -85,3 +85,29 @@ def test_gradient_finite_differences():
         fd = (float(loss(jnp.asarray(M0.ravel() + e))) -
               float(loss(jnp.asarray(M0.ravel() - e)))) / (2 * h)
         np.testing.assert_allclose(g[idx], fd, rtol=5e-5, atol=1e-7)
+
+
+def test_gj_solve_supports_forward_mode():
+    """gj_solve must stay forward-differentiable (custom_linear_solve, not
+    custom_vjp): jax.hessian / HVP machinery (MAP Newton, Laplace evidence,
+    curvature mass seeding) runs jacfwd over logposts containing it."""
+    rng = np.random.default_rng(3)
+    M0 = jnp.asarray(rng.standard_normal((4, 4)) + 2.0 * np.eye(4))
+    B0 = jnp.asarray(rng.standard_normal((4, 1)))
+
+    def f(s):
+        return jnp.sum(gj_solve(M0 + s[0] * jnp.eye(4), B0) ** 3)
+
+    # forward-over-reverse second derivative vs central FD of the gradient
+    H = float(jax.hessian(f)(jnp.zeros(1))[0, 0])
+    g = jax.grad(f)
+    h = 1e-5
+    fd = (float(g(jnp.array([h]))[0]) - float(g(jnp.array([-h]))[0])) / (2 * h)
+    np.testing.assert_allclose(H, fd, rtol=1e-4)
+
+    # plain jvp through the solve
+    tangent = jax.jvp(lambda m: gj_solve(m, B0), (M0,), (jnp.eye(4),))[1]
+    Minv = jnp.linalg.inv(M0)
+    np.testing.assert_allclose(np.asarray(tangent),
+                               np.asarray(-Minv @ jnp.eye(4) @ Minv @ B0),
+                               rtol=1e-8, atol=1e-10)

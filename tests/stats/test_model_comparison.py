@@ -109,3 +109,44 @@ def test_method_validation():
 class _DummySS:
     def build_logpost(self, data):
         return lambda u: -0.5 * jnp.sum(u**2)
+
+
+def test_hessian_fd_fallback_on_custom_vjp_graph():
+    """Logposts whose graph rejects forward mode (any custom_vjp — e.g. the
+    cyclostationary filter) must still get MAP + Laplace, via central
+    differences of the exact reverse-mode gradient."""
+    from geconpy_tpu.stats.model_comparison import neg_hessian_fn
+
+    d = 3
+    mu = jnp.asarray([0.3, -0.7, 1.1])
+    prec = jnp.asarray([1.0, 4.0, 0.25])
+    logZ = -2.5
+
+    @jax.custom_vjp
+    def quad(u):
+        return -0.5 * jnp.sum(prec * (u - mu) ** 2)
+
+    def _fwd(u):
+        return quad(u), u
+
+    def _bwd(u, g):
+        return (-g * prec * (u - mu),)
+
+    quad.defvjp(_fwd, _bwd)
+
+    _, logdet = jnp.linalg.slogdet(jnp.diag(prec))
+
+    def logpost(u):
+        return quad(u) - 0.5 * (d * _LOG2PI - logdet) + logZ
+
+    with pytest.raises(TypeError):
+        jax.hessian(logpost)(mu)  # precondition: fwd mode really is blocked
+
+    H = neg_hessian_fn(logpost, mu)(mu + 0.5)
+    np.testing.assert_allclose(np.asarray(H), np.diag(np.asarray(prec)),
+                               rtol=1e-6, atol=1e-7)
+
+    u_mode = find_map(logpost, mu + 1.5)
+    np.testing.assert_allclose(np.asarray(u_mode), np.asarray(mu), atol=1e-6)
+    ml = laplace_evidence(logpost, u_mode)
+    np.testing.assert_allclose(ml, logZ, atol=1e-6)
