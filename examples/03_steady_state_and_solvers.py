@@ -14,6 +14,15 @@ import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).parents[1]))
 
+import os
+
+if "GECONPY_PLATFORM" in os.environ:
+    # Pin the JAX platform BEFORE first use (plugins may prepend themselves
+    # ahead of the JAX_PLATFORMS env var): GECONPY_PLATFORM=cpu python ...
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["GECONPY_PLATFORM"])
+
 import jax.numpy as jnp
 
 import geconpy_tpu as gt
@@ -75,9 +84,16 @@ block TECH
     print(f"  implied K/Y = {ky:.4f}  (target 10.0)")
 
     # ---- 4. Pinning values: fix a variable and let the solver fill in the
-    # rest (role parity with the reference's fixed-values solver).
-    pinned = rbc_n.steady_state(verbose=False, fixed_values={"L": 0.33})
-    print(f"\npinned L=0.33: success={bool(pinned.success)}")
+    # rest (role parity with the reference's fixed-values solver).  The
+    # success flag validates the FULL system, so a pin that is consistent
+    # with the model passes and an arbitrary one is caught — pins are
+    # checked, never silently absorbed.
+    L_true = float(rbc_n.steady_state(verbose=False)["L_ss"])
+    good = rbc_n.steady_state(verbose=False, fixed_values={"L": L_true})
+    bad = rbc_n.steady_state(verbose=False, fixed_values={"L": L_true + 0.1})
+    print(f"\npinned L={L_true:.4f} (consistent):   success={bool(good.success)}")
+    print(f"pinned L={L_true + 0.1:.4f} (inconsistent): "
+          f"success={bool(bad.success)}  <- over-determined pin flagged")
 
     # ---- 5. Parameter updates flow through: steady_state(**updates)
     # re-solves under new parameter values without re-building the model.

@@ -15,6 +15,15 @@ import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).parents[1]))
 
+import os
+
+if "GECONPY_PLATFORM" in os.environ:
+    # Pin the JAX platform BEFORE first use (plugins may prepend themselves
+    # ahead of the JAX_PLATFORMS env var): GECONPY_PLATFORM=cpu python ...
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["GECONPY_PLATFORM"])
+
 import geconpy_tpu as gt
 
 

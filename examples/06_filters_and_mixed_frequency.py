@@ -21,6 +21,15 @@ import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).parents[1]))
 
+import os
+
+if "GECONPY_PLATFORM" in os.environ:
+    # Pin the JAX platform BEFORE first use (plugins may prepend themselves
+    # ahead of the JAX_PLATFORMS env var): GECONPY_PLATFORM=cpu python ...
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["GECONPY_PLATFORM"])
+
 import jax
 import numpy as np
 
@@ -66,7 +75,7 @@ def main(fast: bool = False):
     from geconpy_tpu.stats.posterior import prepare_mixed_frequency_data
 
     ss_mf = DSGEStateSpace(model)
-    ss_mf.configure(observed_states=["C"],
+    ss_mf.configure(observed_states=["C", "Y_q"],
                     measurement_error={"C": 0.001, "Y_q": 0.001},
                     aggregate={"Y_q": ("Y", "sum", 3)},
                     filter_type="stationary")

@@ -14,6 +14,15 @@ import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).parents[1]))
 
+import os
+
+if "GECONPY_PLATFORM" in os.environ:
+    # Pin the JAX platform BEFORE first use (plugins may prepend themselves
+    # ahead of the JAX_PLATFORMS env var): GECONPY_PLATFORM=cpu python ...
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["GECONPY_PLATFORM"])
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -30,7 +39,7 @@ def main(fast: bool = False):
     # Smith-doubling generalized Sylvester (no Schur, no kron).
     sol, res2 = model.solve_model_second_order(shock_std=sigma)
     print(f"second order: success={bool(res2.success)}  "
-          f"|g_xx|={float(jnp.max(jnp.abs(res2.g_xx))):.4f}  "
+          f"|g_xx|={float(jnp.max(jnp.abs(res2.G_xx))):.4f}  "
           f"|g_ss|={float(jnp.max(jnp.abs(res2.g_ss))):.4f}")
 
     # ---- 2. Pruned simulation and asymmetric IRFs.  At second order,

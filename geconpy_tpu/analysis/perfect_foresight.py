@@ -31,6 +31,7 @@ import pandas as pd
 
 from ..models.model import Model
 from ..ops.block_tridiag import solve_block_tridiagonal
+from ..ops.tolerances import success_tol
 
 __all__ = ["solve_perfect_foresight", "PerfectForesightResult"]
 
@@ -68,6 +69,11 @@ def _stacked_solver(mf, periods: int, tol: float, maxiter: int,
         return A, B, C
 
     def solve(Y0, y0, yT1, eps_path, theta_path):
+        # dtype-aware convergence: the caller's tol is the float64 target;
+        # float32 paths (TPU, un-forced CPU) get ~1000*eps instead of an
+        # unreachable 1e-8
+        tol_eff = success_tol(Y0.dtype, base=tol)
+
         def norm(r):
             return jnp.max(jnp.abs(r))
 
@@ -100,14 +106,14 @@ def _stacked_solver(mf, periods: int, tol: float, maxiter: int,
             init = (jnp.asarray(1.0, Y.dtype), Y, r, jnp.asarray(False))
             (alpha, Y_new, r_new, accepted), _ = jax.lax.scan(
                 backtrack, init, None, length=max_backtracks)
-            converged = norm(r_new) < tol
+            converged = norm(r_new) < tol_eff
             return (Y_new, r_new, it + 1, converged | (~accepted) | bad)
 
         r0 = residuals(Y0, y0, yT1, eps_path, theta_path)
-        state = (Y0, r0, jnp.asarray(0), jnp.asarray(norm(r0) < tol))
+        state = (Y0, r0, jnp.asarray(0), jnp.asarray(norm(r0) < tol_eff))
         Y, r, it, _ = jax.lax.while_loop(cond, body, state)
         final_norm = norm(r)
-        success = jnp.isfinite(final_norm) & (final_norm < tol)
+        success = jnp.isfinite(final_norm) & (final_norm < tol_eff)
         return Y, success, it, final_norm
 
     return solve, residuals

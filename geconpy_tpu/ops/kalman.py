@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from .precision import highest_precision
+from .tolerances import success_tol
 
 __all__ = ["KalmanFilterResult", "KalmanSmootherResult", "kalman_filter",
            "kalman_smoother", "kalman_loglik", "steady_state_kalman_loglik",
@@ -539,9 +540,12 @@ def kalman_smoother(y, T, R, Q, Z, H, d=None, x0=None, P0=None
         x_next_smooth, P_next_smooth = carry
         x_filt, P_filt, x_pred_next, P_pred_next = inputs
         # J = P_filt Tᵀ P_pred_next⁺.  P_pred can be rank-deficient (fewer
-        # shocks than states), so use a regularized symmetric solve.
+        # shocks than states), so use a regularized symmetric solve.  The
+        # ridge must sit above machine epsilon for the running dtype or the
+        # float32 solve blows up on the deficient subspace.
         n_ = P_pred_next.shape[0]
-        eps = 1e-9 * (jnp.trace(P_pred_next) / n_ + 1e-30)
+        rel = success_tol(P_pred_next.dtype, base=1e-9, eps_multiple=100.0)
+        eps = rel * (jnp.trace(P_pred_next) / n_ + 1e-30)
         P_reg = P_pred_next + eps * jnp.eye(n_, dtype=P_pred_next.dtype)
         J = jnp.linalg.solve(P_reg.T, (P_filt @ T.T).T).T
         x_s = x_filt + J @ (x_next_smooth - x_pred_next)

@@ -134,3 +134,37 @@ def test_nonfinite_becomes_neg_inf(system):
     bad_T = jnp.asarray(T) * jnp.nan
     ll = kalman_loglik(y, bad_T, R, Q, Z, H, x0=x0, P0=P0)
     assert float(ll) == -np.inf
+
+
+def test_smoother_float32_rank_deficient():
+    """The RTS gain solve must survive float32 with fewer shocks than
+    states (rank-deficient predicted covariance): the ridge is dtype-aware
+    (success_tol), not a fixed 1e-9 that float32 cannot see."""
+    rng = np.random.default_rng(5)
+    n, k, m = 6, 2, 1           # 6 states, 1 shock: P_pred rank-deficient
+    T = rng.normal(size=(n, n))
+    T = 0.9 * T / np.abs(np.linalg.eigvals(T)).max()
+    R = rng.normal(size=(n, m))
+    Q = np.array([[0.01]])
+    Z = rng.normal(size=(k, n))
+    H = 1e-4 * np.eye(k)
+
+    x = np.zeros(n)
+    ys = []
+    for _ in range(120):
+        x = T @ x + R[:, 0] * (0.1 * rng.normal())
+        ys.append(Z @ x + 1e-2 * rng.normal(size=k))
+    y32 = jnp.asarray(np.array(ys), dtype=jnp.float32)
+
+    args32 = [jnp.asarray(a, dtype=jnp.float32) for a in (T, R, Q, Z, H)]
+    sm = kalman_smoother(y32, *args32)
+    assert sm.smoothed_mean.dtype == jnp.float32
+    assert bool(jnp.all(jnp.isfinite(sm.smoothed_mean)))
+    assert bool(jnp.all(jnp.isfinite(sm.smoothed_cov)))
+
+    # and it should still agree with the float64 smoother to f32 precision
+    args64 = [jnp.asarray(a, dtype=jnp.float64) for a in (T, R, Q, Z, H)]
+    sm64 = kalman_smoother(jnp.asarray(np.array(ys)), *args64)
+    np.testing.assert_allclose(np.asarray(sm.smoothed_mean),
+                               np.asarray(sm64.smoothed_mean),
+                               atol=5e-3, rtol=5e-2)
