@@ -1096,15 +1096,21 @@ class DSGEStateSpace:
         }
 
     def data_from_prior(self, key, periods: int = 200,
-                        params: dict | None = None):
+                        params: dict | None = None,
+                        pct_missing: float = 0.0):
         """Simulate an artificial dataset from one prior draw.
 
-        Role parity with ``gEconpy/model/statespace.py:1324``.
-        Returns (data (periods, k_obs), draw dict).  ``params`` pins chosen
+        Role parity with ``gEconpy/model/statespace.py:1324`` including its
+        ``pct_missing``: that fraction of observation cells is NaN-ed out
+        uniformly at random (the missing-data Kalman filter handles them
+        exactly — test fixtures for ragged panels).  ``params`` pins chosen
         estimated parameters to given values instead of sampling them
         (controlled simulation studies / well-identified test fixtures).
+        Returns (data (periods, k_obs), draw dict).
         """
-        k_draw, k_sim, k_obs_noise = jax.random.split(key, 3)
+        if not 0.0 <= pct_missing < 1.0:
+            raise ValueError(f"pct_missing must be in [0, 1), got {pct_missing}")
+        k_draw, k_sim, k_obs_noise, k_miss = jax.random.split(key, 4)
         draw = {p.name: float(np.asarray(p.prior.sample(k)))
                 for p, k in zip(self.estimated,
                                 jax.random.split(k_draw, len(self.estimated)))}
@@ -1150,6 +1156,9 @@ class DSGEStateSpace:
             data[:, j] += draw[p.name] * np.asarray(
                 jax.random.normal(jax.random.fold_in(k_obs_noise, slot),
                                   (periods,)))
+        if pct_missing > 0.0:
+            mask = np.asarray(jax.random.uniform(k_miss, data.shape))
+            data = np.where(mask < pct_missing, np.nan, data)
         return data, draw
 
 def _vine_cholesky_np(z_flat, m: int) -> np.ndarray:

@@ -200,3 +200,20 @@ def test_batched_pallas_path_rbc():
     both = np.isfinite(ll_p) & np.isfinite(ll_r)
     assert both.sum() >= 6
     np.testing.assert_allclose(ll_p[both], ll_r[both], rtol=1e-9)
+
+
+def test_data_from_prior_pct_missing(ss_mod):
+    """pct_missing NaNs out the requested fraction of cells (reference
+    parity: gEconpy/model/statespace.py:1324 data_from_prior) and the
+    missing-data filter still produces a finite likelihood."""
+    data, draw = ss_mod.data_from_prior(jax.random.PRNGKey(11), periods=200,
+                                        pct_missing=0.25)
+    frac = float(np.isnan(data).mean())
+    assert 0.15 < frac < 0.35, frac
+
+    logpost = jax.jit(ss_mod.build_logpost(np.asarray(data)))
+    lp = float(logpost(ss_mod.unconstrain(draw)))
+    assert np.isfinite(lp)
+
+    with pytest.raises(ValueError, match="pct_missing"):
+        ss_mod.data_from_prior(jax.random.PRNGKey(0), pct_missing=1.5)
