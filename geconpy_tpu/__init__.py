@@ -9,6 +9,7 @@ estimation, with vmap over parameter draws and shard_map over device meshes.
 __version__ = "0.1.0"
 
 from .analysis.dynare import make_mod_file
+from .analysis.occbin import OccbinResult, solve_occbin
 from .analysis.perfect_foresight import PerfectForesightResult, solve_perfect_foresight
 from .analysis.simulate import impulse_response_function, simulate
 from .lang import parse_gcn, print_model
@@ -76,6 +77,7 @@ __all__ = [
     "stationary_covariance_matrix",
     "autocovariance_matrix",
     "solve_perfect_foresight",
+    "solve_occbin",
     "make_mod_file",
     "fit",
     "solvability_check",

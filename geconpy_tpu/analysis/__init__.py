@@ -1,4 +1,5 @@
 from .dynare import DynarePrinter, make_mod_file
+from .occbin import OccbinResult, solve_occbin
 from .perfect_foresight import PerfectForesightResult, solve_perfect_foresight
 from .simulate import (
     impulse_response,
@@ -11,6 +12,7 @@ from .simulate import (
 
 __all__ = [
     "DynarePrinter", "make_mod_file",
+    "OccbinResult", "solve_occbin",
     "PerfectForesightResult", "solve_perfect_foresight",
     "impulse_response", "impulse_response_function", "simulate",
     "simulate_linear", "simulate_second_order",
