@@ -45,7 +45,9 @@ def main(num_chains: int = 256, num_warmup: int = 200,
         return geconpy_tpu.fit(
             ss, data32, num_chains=num_chains, num_warmup=num_warmup,
             num_samples=num_samples, seed=seed, policy="pallas",
-            pooled_adaptation=True, max_depth=8)
+            pooled_adaptation=True, max_depth=8,
+            segment_size=25)  # bound each device program: the axon tunnel
+            # kills the worker on very long single XLA executions
 
     t0 = time.perf_counter()
     run(1)                       # compile pass (fills the jit cache)

@@ -100,6 +100,7 @@ def fit(
     init: str = "prior",
     mass_init: str = "auto",
     order: int = 1,
+    segment_size: int | None = None,
 ) -> PosteriorResult:
     """Sample the posterior with vmapped device-side NUTS chains.
 
@@ -122,6 +123,11 @@ def fit(
     difference between converging in a few hundred draws and chains stuck on
     the climb: warmup then only has to adapt, not travel.  ``init="prior"``
     (default) jitters around the prior means.
+
+    ``segment_size`` runs warmup and sampling in bounded slices (at most
+    that many draws per device program, host sync between) with identical
+    key streams/results — use on runtimes that cap single-call execution
+    time, e.g. remote-device tunnels with RPC deadlines.
 
     ``mass_init="auto"`` (default) seeds the diagonal mass matrix from the
     log-posterior curvature when starting at the mode (``init="map"``, where
@@ -181,7 +187,8 @@ def fit(
         target_accept=target_accept, pooled=pooled_adaptation,
         logp_grad_fn=logp_grad_fn,
         mass_init=({"auto": "hessian" if init == "map" else "unit"}
-                   .get(mass_init, mass_init)))
+                   .get(mass_init, mass_init)),
+        segment_size=segment_size)
 
     constrain_all = jax.jit(jax.vmap(jax.vmap(ss_mod.constrain)))
     constrained = np.asarray(constrain_all(res.samples))
@@ -212,6 +219,7 @@ def fit_pmmh(
     n_particles: int = 4096,
     initial_scale: float = 0.1,
     init_jitter: float = 0.25,
+    segment_size: int | None = None,
 ) -> PosteriorResult:
     """Particle-marginal Metropolis-Hastings posterior of the pruned
     second-order model (exact pseudo-marginal target, no Gaussian/UKF
@@ -243,7 +251,8 @@ def fit_pmmh(
         for i in range(num_chains)
     ])
     res = sample_pmmh(pf, logprior, inits, k_run, num_warmup=num_warmup,
-                      num_samples=num_samples, initial_scale=initial_scale)
+                      num_samples=num_samples, initial_scale=initial_scale,
+                      segment_size=segment_size)
 
     constrain_all = jax.jit(jax.vmap(jax.vmap(ss_mod.constrain)))
     constrained = np.asarray(constrain_all(res.samples))

@@ -452,8 +452,17 @@ def sample_nuts(
     axis_name: str | None = None,
     logp_grad_fn: Callable | None = None,
     mass_init: str = "unit",
+    segment_size: int | None = None,
 ) -> NUTSResult:
     """Run vmapped NUTS chains.
+
+    ``segment_size`` bounds the length of any single device program: the
+    warmup and sampling loops execute in segments of at most that many
+    draws, with a host synchronization between segments.  Key streams are
+    pre-split, so results are identical to the single-program default —
+    use it when a runtime caps per-call execution time (e.g. an RPC
+    deadline on a remote-device tunnel) or to bound time-to-interrupt on
+    very long runs.
 
     ``mass_init="hessian"`` seeds the diagonal mass matrix from the negative
     log-posterior curvature at each chain's initial position (ideal when
@@ -476,6 +485,12 @@ def sample_nuts(
     initial_position = jnp.asarray(initial_position)
     n_chains, dim = initial_position.shape
     dtype = initial_position.dtype
+
+    if segment_size is not None and isinstance(initial_position,
+                                               jax.core.Tracer):
+        # inside jit / shard_map there is no host boundary to segment at;
+        # fall back to the single-program scans
+        segment_size = None
 
     in_slow_np, window_end_np = _window_schedule(num_warmup)
     in_slow = jnp.asarray(in_slow_np)
@@ -504,7 +519,8 @@ def sample_nuts(
             logp_fn, logp_grad, initial_position, key, num_warmup,
             num_samples, max_depth, initial_step_size, target_accept,
             in_slow, window_end, axis_name, logp_grad_fn, pooled_im0,
-            prev_anchor=(mass_init == "hessian"))
+            prev_anchor=(mass_init == "hessian"),
+            segment_size=segment_size)
 
     def warmup_step(carry, inputs):
         step_idx, key = inputs
@@ -556,8 +572,55 @@ def sample_nuts(
     chain_keys = jax.random.split(key, n_chains)
     if inv_mass0 is None:
         inv_mass0 = jnp.ones((n_chains, dim), dtype)
-    qs, logps, accepts, divs, n_leaps, eps_final, inv_mass = jax.vmap(one_chain)(
-        initial_position, chain_keys, inv_mass0)
+
+    if segment_size is None:
+        qs, logps, accepts, divs, n_leaps, eps_final, inv_mass = \
+            jax.vmap(one_chain)(initial_position, chain_keys, inv_mass0)
+        return NUTSResult(qs, logps, accepts, divs, n_leaps, eps_final,
+                          inv_mass)
+
+    # ---- segmented execution: same step functions, same key streams, but
+    # the scans run in bounded slices with a host sync between them.
+    warm_keys = jax.vmap(lambda k: jax.random.split(k, num_warmup + 1))(
+        chain_keys)                                   # (chains, W+1, 2)
+    logps0, grads0 = jax.vmap(logp_grad)(initial_position)
+    adapt = jax.vmap(
+        lambda im: _adapt_init(initial_step_size, dim, dtype, inv_mass0=im)
+    )(inv_mass0)
+
+    @jax.jit
+    def warm_seg(carry, idxs, keys):
+        def one(c, ks):
+            out, _ = jax.lax.scan(warmup_step, c, (idxs, ks))
+            return out
+        return jax.vmap(one)(carry, keys)
+
+    carry = (initial_position, logps0, grads0, adapt)
+    for lo in range(0, num_warmup, segment_size):
+        hi = min(lo + segment_size, num_warmup)
+        carry = warm_seg(carry, jnp.arange(lo, hi), warm_keys[:, lo:hi])
+        jax.block_until_ready(carry)
+    q, logp, grad, adapt = carry
+
+    eps_final = jnp.exp(adapt.log_eps_bar)
+    inv_mass = adapt.inv_mass
+    sample_keys = jax.vmap(lambda k: jax.random.split(k, num_samples))(
+        warm_keys[:, -1])                             # (chains, S, 2)
+
+    @jax.jit
+    def sample_seg(carry, keys):
+        return jax.vmap(lambda c, ks: jax.lax.scan(sample_step, c, ks))(
+            carry, keys)
+
+    carry = (q, logp, grad, eps_final, inv_mass)
+    outs = []
+    for lo in range(0, num_samples, segment_size):
+        hi = min(lo + segment_size, num_samples)
+        carry, out = sample_seg(carry, sample_keys[:, lo:hi])
+        jax.block_until_ready(out)
+        outs.append(out)
+    qs, logps, accepts, divs, n_leaps = (
+        jnp.concatenate(parts, axis=1) for parts in zip(*outs))
     return NUTSResult(qs, logps, accepts, divs, n_leaps, eps_final, inv_mass)
 
 
@@ -565,7 +628,8 @@ def _sample_nuts_pooled(logp_fn, logp_grad, initial_position, key,
                         num_warmup, num_samples, max_depth,
                         initial_step_size, target_accept, in_slow,
                         window_end, axis_name, logp_grad_fn=None,
-                        inv_mass0=None, prev_anchor=False):
+                        inv_mass0=None, prev_anchor=False,
+                        segment_size=None):
     """Cross-chain pooled warmup: shared step size + shared mass matrix.
 
     The step loop is the outer scan and chains run vmapped inside it, so
@@ -619,14 +683,35 @@ def _sample_nuts_pooled(logp_fn, logp_grad, initial_position, key,
     adapt = _adapt_init(initial_step_size, dim, dtype, inv_mass0=inv_mass0)
     warm_keys = jax.random.split(key, num_warmup + 1)
     carry = (initial_position, logps0, grads0, adapt)
-    (qs, logps, grads, adapt), _ = jax.lax.scan(
-        warmup_step, carry,
-        (jnp.arange(num_warmup), warm_keys[:num_warmup]))
+    if segment_size is None:
+        (qs, logps, grads, adapt), _ = jax.lax.scan(
+            warmup_step, carry,
+            (jnp.arange(num_warmup), warm_keys[:num_warmup]))
+    else:
+        warm_seg = jax.jit(lambda c, idxs, ks: jax.lax.scan(
+            warmup_step, c, (idxs, ks))[0])
+        for lo in range(0, num_warmup, segment_size):
+            hi = min(lo + segment_size, num_warmup)
+            carry = warm_seg(carry, jnp.arange(lo, hi), warm_keys[lo:hi])
+            jax.block_until_ready(carry)
+        qs, logps, grads, adapt = carry
     eps_final = jnp.exp(adapt.log_eps_bar)
     sample_keys = jax.random.split(warm_keys[-1], num_samples)
     carry = (qs, logps, grads, eps_final, adapt.inv_mass)
-    _, (qs_all, logps_all, accepts, divs, n_leaps) = jax.lax.scan(
-        sample_step, carry, sample_keys)
+    if segment_size is None:
+        _, (qs_all, logps_all, accepts, divs, n_leaps) = jax.lax.scan(
+            sample_step, carry, sample_keys)
+    else:
+        sample_seg = jax.jit(
+            lambda c, ks: jax.lax.scan(sample_step, c, ks))
+        outs = []
+        for lo in range(0, num_samples, segment_size):
+            hi = min(lo + segment_size, num_samples)
+            carry, out = sample_seg(carry, sample_keys[lo:hi])
+            jax.block_until_ready(out)
+            outs.append(out)
+        qs_all, logps_all, accepts, divs, n_leaps = (
+            jnp.concatenate(parts, axis=0) for parts in zip(*outs))
     # scan stacked on the draw axis: (draws, chains, ...) -> (chains, draws)
     samples = jnp.swapaxes(qs_all, 0, 1)
     return NUTSResult(

@@ -41,7 +41,8 @@ class PMMHResult(NamedTuple):
 def sample_pmmh(loglik_fn: Callable, logprior_fn: Callable,
                 initial_position, key, num_warmup: int = 500,
                 num_samples: int = 1000, initial_scale: float = 0.1,
-                target_accept: float = 0.234) -> PMMHResult:
+                target_accept: float = 0.234,
+                segment_size: int | None = None) -> PMMHResult:
     """Run vmapped PMMH chains.
 
     Parameters
@@ -60,6 +61,11 @@ def sample_pmmh(loglik_fn: Callable, logprior_fn: Callable,
         proposal.
     key
         PRNG key.
+
+    ``segment_size`` bounds any single device program to that many
+    iterations (host sync between slices, identical key stream/results) —
+    for runtimes that cap per-call execution time, e.g. remote-device
+    tunnels with RPC deadlines.
 
     Returns draws in unconstrained space (constrain with
     ``DSGEStateSpace.constrain``).
@@ -117,8 +123,20 @@ def sample_pmmh(loglik_fn: Callable, logprior_fn: Callable,
     init = (q0, ll0, lp0,
             jnp.full((n_chains,), initial_scale, dtype),
             jnp.zeros((n_chains,), dtype), jnp.asarray(0))
-    (q, ll, lp, scale, acc_sum, _), (qs, lls) = jax.lax.scan(
-        step, init, keys)
+    if segment_size is None or isinstance(q0, jax.core.Tracer):
+        (q, ll, lp, scale, acc_sum, _), (qs, lls) = jax.lax.scan(
+            step, init, keys)
+    else:
+        # the iteration counter lives in the carry, so slicing the key
+        # stream reproduces the single-program run exactly
+        seg_fn = jax.jit(lambda c, ks: jax.lax.scan(step, c, ks))
+        carry, outs = init, []
+        for lo in range(0, total, segment_size):
+            carry, out = seg_fn(carry, keys[lo:min(lo + segment_size, total)])
+            jax.block_until_ready(out)
+            outs.append(out)
+        (q, ll, lp, scale, acc_sum, _) = carry
+        qs, lls = (jnp.concatenate(parts, axis=0) for parts in zip(*outs))
 
     samples = jnp.swapaxes(qs[num_warmup:], 0, 1)     # (chains, draws, dim)
     logliks = jnp.swapaxes(lls[num_warmup:], 0, 1)

@@ -194,3 +194,31 @@ def test_scale_disparate_target_needs_curvature_mass():
     # the sample reproduces every marginal scale
     emp = s.reshape(-1, 4).std(axis=0)
     np.testing.assert_allclose(emp, np.asarray(sds), rtol=0.25)
+
+
+def test_segmented_matches_single_program():
+    """segment_size pre-splits the same key streams, so segmented execution
+    reproduces the single-program result exactly (both variants)."""
+    import jax.numpy as jnp
+
+    dim = 3
+    cov = np.array([[1.0, 0.5, 0.0], [0.5, 2.0, 0.3], [0.0, 0.3, 0.5]])
+    prec = jnp.asarray(np.linalg.inv(cov))
+
+    def logp(q):
+        return -0.5 * q @ prec @ q
+
+    init = jnp.asarray(np.random.default_rng(0).normal(size=(4, dim)))
+    kwargs = dict(num_warmup=120, num_samples=90, max_depth=6)
+
+    for pooled in (False, True):
+        base = sample_nuts(logp, init, jax.random.PRNGKey(7),
+                           pooled=pooled, **kwargs)
+        seg = sample_nuts(logp, init, jax.random.PRNGKey(7),
+                          pooled=pooled, segment_size=40, **kwargs)
+        np.testing.assert_allclose(np.asarray(seg.samples),
+                                   np.asarray(base.samples), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(seg.step_size),
+                                   np.asarray(base.step_size), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(seg.diverging),
+                                   np.asarray(base.diverging))

@@ -122,3 +122,26 @@ def test_fit_pmmh_wrapper_smoke():
     assert np.isfinite(res.logp).all()
     df = res.summary()
     assert set(df.index) == set(ss.param_labels)
+
+
+def test_pmmh_segmented_matches_single_program():
+    import jax
+    import jax.numpy as jnp
+
+    from geconpy_tpu.stats.pmmh import sample_pmmh
+
+    def loglik(u, key):
+        return -0.5 * jnp.sum(u ** 2), jnp.asarray(True)
+
+    def logprior(u):
+        return -0.5 * jnp.sum((u / 3.0) ** 2)
+
+    init = jnp.asarray(np.random.default_rng(1).normal(size=(3, 2)))
+    kwargs = dict(num_warmup=60, num_samples=80)
+    base = sample_pmmh(loglik, logprior, init, jax.random.PRNGKey(5), **kwargs)
+    seg = sample_pmmh(loglik, logprior, init, jax.random.PRNGKey(5),
+                      segment_size=33, **kwargs)
+    np.testing.assert_allclose(np.asarray(seg.samples),
+                               np.asarray(base.samples), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(seg.scale),
+                               np.asarray(base.scale), rtol=1e-12)
