@@ -93,7 +93,8 @@ def fit_with_checkpointing(
             for i in range(num_chains)
         ])
         warm = sample_nuts(logpost, inits, k_sample, num_warmup=num_warmup,
-                           num_samples=1, max_depth=max_depth)
+                           num_samples=1, max_depth=max_depth,
+                           segment_size=checkpoint_every)
         ckpt = SamplerCheckpoint(
             positions=np.asarray(warm.samples[:, -1, :]),
             step_size=np.asarray(warm.step_size),
