@@ -21,7 +21,7 @@ import jax
 import numpy as np
 
 
-def main(num_chains: int = 256, num_warmup: int = 200,
+def main(num_chains: int = 256, num_warmup: int = 300,
          num_samples: int = 200):
     import geconpy_tpu
     from geconpy_tpu.stats.statespace import DSGEStateSpace
@@ -45,7 +45,8 @@ def main(num_chains: int = 256, num_warmup: int = 200,
         return geconpy_tpu.fit(
             ss, data32, num_chains=num_chains, num_warmup=num_warmup,
             num_samples=num_samples, seed=seed, policy="pallas",
-            pooled_adaptation=True, max_depth=8,
+            pooled_adaptation=True, max_depth=8, init="map",
+            target_accept=0.9,
             segment_size=25)  # bound each device program: the axon tunnel
             # kills the worker on very long single XLA executions
 

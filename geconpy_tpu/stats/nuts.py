@@ -583,7 +583,7 @@ def sample_nuts(
     # the scans run in bounded slices with a host sync between them.
     warm_keys = jax.vmap(lambda k: jax.random.split(k, num_warmup + 1))(
         chain_keys)                                   # (chains, W+1, 2)
-    logps0, grads0 = jax.vmap(logp_grad)(initial_position)
+    logps0, grads0 = jax.jit(jax.vmap(logp_grad))(initial_position)
     adapt = jax.vmap(
         lambda im: _adapt_init(initial_step_size, dim, dtype, inv_mass0=im)
     )(inv_mass0)
@@ -679,7 +679,7 @@ def _sample_nuts_pooled(logp_fn, logp_grad, initial_position, key,
                info["n_leapfrog"])
         return (qs, logps, grads, eps, inv_mass), out
 
-    logps0, grads0 = jax.vmap(logp_grad)(initial_position)
+    logps0, grads0 = jax.jit(jax.vmap(logp_grad))(initial_position)
     adapt = _adapt_init(initial_step_size, dim, dtype, inv_mass0=inv_mass0)
     warm_keys = jax.random.split(key, num_warmup + 1)
     carry = (initial_position, logps0, grads0, adapt)
