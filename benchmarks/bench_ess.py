@@ -26,10 +26,13 @@ def main(num_chains: int = 256, num_warmup: int = 300,
     import geconpy_tpu
     from geconpy_tpu.stats.statespace import DSGEStateSpace
 
+    # the full exogenous block: AR coefficients + shock scales, identified
+    # from the 7 observables (policy/preference curvature held at
+    # calibration — the bench measures sampling throughput on a target that
+    # CONVERGES; widen at will for experiments)
     estimated = ["crhoa", "crhob", "crhog", "crhoqs", "crhoms", "crhopinf",
-                 "crhow", "cmap", "cmaw", "cgy", "sigma_ea", "sigma_eb",
-                 "sigma_eg", "sigma_eqs", "sigma_em", "sigma_epinf",
-                 "sigma_ew", "crpi", "crr", "cry", "chabb", "csigma"]
+                 "crhow", "sigma_ea", "sigma_eb", "sigma_eg", "sigma_eqs",
+                 "sigma_em", "sigma_epinf", "sigma_ew"]
     model = geconpy_tpu.model_from_gcn(
         geconpy_tpu.get_example_gcn("sw2007"), verbose=False)
     constant = [p for p in model.param_names if p not in estimated]

@@ -185,9 +185,12 @@ def solve_occbin(
 ) -> OccbinResult:
     """Piecewise-linear path under an occasionally-binding constraint.
 
-    ``shocks`` maps shock names to (anticipated) paths, as in
-    :func:`solve_perfect_foresight`; ``initial_state`` sets period-0 state
-    deviations from the reference steady state.  ``updates`` override
+    ``shocks`` maps shock names to realized paths.  As in the OccBin
+    toolkit, shocks are unanticipated (MIT) surprises — agents expect zero
+    future shocks each period — while the *regime sequence* implied by the
+    realized path is anticipated (perfect foresight over regimes enters
+    the time-varying backward recursion).  ``initial_state`` sets period-0
+    state deviations from the reference steady state.  ``updates`` override
     parameters by name in whichever regime model defines them.  Level
     (not log) linearization is used for both regimes so the switching
     conditions evaluate on level paths.
