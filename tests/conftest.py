@@ -7,6 +7,18 @@ TPU runs use float32/bfloat16 by default.
 """
 
 import os
+import resource
+
+# XLA:CPU compile passes recurse deeply on large scan graphs; glibc sizes
+# new (compiler) thread stacks from RLIMIT_STACK, and the default 8 MB can
+# segfault nondeterministically on the biggest estimation programs.  Raise
+# it before JAX spawns any threads.
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+if _soft != resource.RLIM_INFINITY:
+    try:
+        resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
+    except (ValueError, OSError):
+        pass
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
