@@ -139,22 +139,13 @@ def solve_adjoint_sylvester(M, C, T, G, iters: int = 30):
         _, _, _, it, done = carry
         return (~done) & (it < iters)
 
-    n = T.shape[-1]
-
     def body(carry):
         W, S_k, T_k, it, _ = carry
-        # stack the independent products into two double-width matmuls
-        # (half the dispatches, better MXU tiles at small n):
-        #   [W; T_k] @ T_k  ->  [W T_k ; T_k²],   S_k @ [W T_k, S_k]  ->
-        #   [S_k W T_k, S_k²]
-        right = jnp.concatenate([W, T_k], axis=0) @ T_k
-        P, T_next = right[:n], right[n:]
-        left = S_k @ jnp.concatenate([P, S_k], axis=1)
-        delta, S_next = left[:, :n], left[:, n:]
+        delta = S_k @ W @ T_k
         W_new = W + delta
         small = jnp.max(jnp.abs(delta)) <= eps * jnp.max(jnp.abs(W_new))
         done = small | ~jnp.isfinite(jnp.max(jnp.abs(delta)))
-        return (W_new, S_next, T_next, it + 1, done)
+        return (W_new, S_k @ S_k, T_k @ T_k, it + 1, done)
 
     W, _, _, _, _ = jax.lax.while_loop(
         cond, body, (W0, S, T.T, jnp.asarray(0), jnp.asarray(False)))

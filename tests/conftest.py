@@ -31,3 +31,19 @@ import jax
 # to jax_platforms (e.g. "axon,cpu"); force pure CPU for the test suite.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    A single pytest process accumulates hundreds of XLA:CPU executables
+    across the suite; the largest late compiles (pooled-NUTS warmup scans)
+    have been observed to segfault inside backend_compile under that
+    state, while the same test passes standalone.  Sympy lowering caches
+    (`codegen.lower._FN_CACHE`) survive, so only jit re-tracing is paid.
+    """
+    yield
+    jax.clear_caches()
