@@ -23,6 +23,7 @@ from .stats.covariance import (
     stationary_covariance_matrix,
 )
 from .stats.estimation import PosteriorResult, fit
+from .stats.forecast import conditional_forecast, posterior_forecast
 from .stats.perturbation_diagnostics import (
     check_bk_condition,
     eigenvalue_sensitivity,
@@ -80,6 +81,8 @@ __all__ = [
     "solve_occbin",
     "make_mod_file",
     "fit",
+    "posterior_forecast",
+    "conditional_forecast",
     "solvability_check",
     "prior_solvability_check",
     "summarize_perturbation_solution",

@@ -22,6 +22,7 @@ from .nonlinear import (
     filter_data_second_order,
     quadratic_drive_covariance,
 )
+from .forecast import conditional_forecast, posterior_forecast
 from .identification import IdentificationResult, iskrev_identification
 from .nuts import NUTSResult, nuts_kernel, sample_nuts
 from .pmmh import PMMHResult, sample_pmmh
@@ -55,6 +56,7 @@ __all__ = [
     "PosteriorResult", "fit", "fit_with_checkpointing",
     "load_checkpoint", "save_checkpoint",
     "NUTSResult", "nuts_kernel", "sample_nuts",
+    "posterior_forecast", "conditional_forecast",
     "effective_sample_size", "split_rhat", "summarize_chains",
     "stationary_covariance", "stationary_covariance_matrix",
     "autocovariance", "autocovariance_matrix", "autocorrelation", "fevd",
