@@ -32,6 +32,7 @@ __all__ = [
     "plot_eigenvalue_sensitivity",
     "plot_perfect_foresight",
     "plot_shock_decomposition",
+    "plot_forecast",
 ]
 
 
@@ -571,5 +572,45 @@ def plot_shock_decomposition(decomposition_df, variables=None,
         ax.axhline(0.0, color="black", lw=0.5)
         ax.set_title(var)
     axes[0].legend(fontsize=7, ncol=2)
+    fig.tight_layout()
+    return fig
+
+
+def plot_forecast(forecast_df, data=None, observed_names=None,
+                  history: int = 40, n_cols: int = 2):
+    """Fan chart: history + forecast quantile bands per observable.
+
+    ``forecast_df`` comes from :func:`geconpy_tpu.stats.forecast.
+    posterior_forecast` or ``conditional_forecast`` — indexed
+    (variable, time 1..H) with ``mean`` and ``q*`` columns.  Pass the
+    estimation ``data`` (and its column order in ``observed_names``) to
+    draw the last ``history`` observations before the forecast origin.
+    Nested quantile pairs shade progressively (outermost lightest).
+    """
+    plt = _plt()
+    variables = list(forecast_df.index.get_level_values("variable").unique())
+    qcols = sorted([c for c in forecast_df.columns if c.startswith("q")],
+                   key=lambda c: float(c[1:]))
+    pairs = [(qcols[i], qcols[-1 - i]) for i in range(len(qcols) // 2)]
+
+    fig, axes = prepare_gridspec_figure(len(variables), n_cols, sharex=True)
+    for ax, var in zip(axes, variables):
+        block = forecast_df.xs(var, level="variable")
+        t_fc = np.asarray(block.index, dtype=float)
+        if data is not None:
+            names = list(observed_names) if observed_names is not None \
+                else variables
+            if var in names:
+                col = np.asarray(data)[:, names.index(var)]
+                h = col[-history:] if history else col
+                t_hist = np.arange(-len(h) + 1, 1, dtype=float)
+                ax.plot(t_hist, h, color="black", lw=1.0)
+                ax.axvline(0.0, color="grey", lw=0.7, ls=":")
+        for k, (lo, hi) in enumerate(pairs):
+            ax.fill_between(t_fc, block[lo].to_numpy(),
+                            block[hi].to_numpy(),
+                            alpha=0.25 + 0.15 * k, color="C0", lw=0)
+        ax.plot(t_fc, block["mean"].to_numpy(), color="C0", lw=1.4)
+        ax.set_title(var)
     fig.tight_layout()
     return fig

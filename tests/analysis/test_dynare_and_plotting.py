@@ -279,3 +279,31 @@ def test_plot_timeseries(kwargs, n_axes):
     fig2 = plotting.plot_timeseries(df.reset_index(drop=True), **kwargs)
     assert len([a for a in fig2.axes if a.get_visible()]) == n_axes
     plt.close(fig2)
+
+
+def test_plot_forecast_smoke():
+    import matplotlib
+    matplotlib.use("Agg")
+    import numpy as np
+    import pandas as pd
+
+    from geconpy_tpu.analysis.plotting import plot_forecast
+
+    H = 8
+    idx = pd.MultiIndex.from_product([["Y", "C"], range(1, H + 1)],
+                                     names=["variable", "time"])
+    rng = np.random.default_rng(2)
+    base = rng.normal(size=2 * H).cumsum() * 0.01 + 1.0
+    df = pd.DataFrame({"mean": base,
+                       "q0.05": base - 0.05, "q0.16": base - 0.02,
+                       "q0.84": base + 0.02, "q0.95": base + 0.05},
+                      index=idx)
+    data = 1.0 + 0.01 * rng.normal(size=(60, 2))
+
+    fig = plot_forecast(df, data=data, observed_names=["Y", "C"], history=30)
+    visible = [a for a in fig.axes if a.get_visible()]
+    assert len(visible) == 2
+    ax0 = visible[0]
+    # two nested bands + history line + mean line
+    assert len(ax0.collections) == 2
+    assert len(ax0.lines) >= 2
