@@ -23,6 +23,7 @@ from .stats.covariance import (
     stationary_covariance_matrix,
 )
 from .stats.estimation import PosteriorResult, fit
+from .stats.smc import SMCResult, fit_smc
 from .stats.forecast import conditional_forecast, posterior_forecast
 from .stats.perturbation_diagnostics import (
     check_bk_condition,
@@ -81,6 +82,7 @@ __all__ = [
     "solve_occbin",
     "make_mod_file",
     "fit",
+    "fit_smc",
     "posterior_forecast",
     "conditional_forecast",
     "solvability_check",

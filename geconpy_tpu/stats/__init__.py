@@ -43,6 +43,7 @@ from .posterior import (
     posterior_smoothed_states,
     prepare_mixed_frequency_data,
 )
+from .smc import SMCResult, fit_smc
 from .sampling import (
     bounds_from_priors,
     sample_from_priors,
@@ -57,6 +58,7 @@ __all__ = [
     "load_checkpoint", "save_checkpoint",
     "NUTSResult", "nuts_kernel", "sample_nuts",
     "posterior_forecast", "conditional_forecast",
+    "SMCResult", "fit_smc",
     "effective_sample_size", "split_rhat", "summarize_chains",
     "stationary_covariance", "stationary_covariance_matrix",
     "autocovariance", "autocovariance_matrix", "autocorrelation", "fevd",

@@ -1,0 +1,234 @@
+"""Sequential Monte Carlo posterior sampling (likelihood tempering).
+
+Herbst & Schorfheide (2014, JAE) "Sequential Monte Carlo sampling for DSGE
+models" — the standard gradient-free Bayesian estimator for DSGE posteriors
+(multimodal-robust, embarrassingly parallel) and the natural TPU fit: the
+inner loop is nothing but batched log-likelihood sweeps, which is exactly
+the lane-batched Pallas hot path (``build_batched_loglik``, ~30 µs/draw on
+SW-2007).  No counterpart in the reference gEconpy (beyond parity).
+
+Algorithm: particles start at the prior; a tempering schedule
+phi_0 = 0 < ... < phi_K = 1 raises the likelihood's weight, chosen
+*adaptively* so each stage's incremental importance weights keep the
+effective sample size near ``target_ess``; each stage = correction
+(reweight) -> selection (systematic resample when ESS drops) -> mutation
+(random-walk Metropolis with the weighted particle covariance as proposal,
+scale adapted toward 25% acceptance).  The accumulated correction terms
+give an unbiased marginal-data-density estimate for free.
+
+Device-call structure is tunnel-safe by construction: every stage is a few
+bounded jitted batch evaluations with host-side control between them.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.particle_filter import systematic_resample
+
+_log = logging.getLogger("geconpy_tpu")
+
+__all__ = ["SMCResult", "fit_smc"]
+
+
+class SMCResult(NamedTuple):
+    samples: np.ndarray        # (n_particles, dim) constrained, equal-weight
+    unconstrained: np.ndarray  # (n_particles, dim)
+    log_evidence: float        # marginal data density estimate
+    phi_schedule: np.ndarray   # adaptive tempering steps (n_stages,)
+    accept_rates: np.ndarray   # MH acceptance per stage
+    ess_path: np.ndarray       # post-correction ESS per stage
+    param_names: list[str]
+
+    def summary(self):
+        import pandas as pd
+
+        s = self.samples
+        out = pd.DataFrame(index=self.param_names)
+        out["mean"] = s.mean(axis=0)
+        out["sd"] = s.std(axis=0)
+        out["q0.05"] = np.quantile(s, 0.05, axis=0)
+        out["q0.5"] = np.quantile(s, 0.5, axis=0)
+        out["q0.95"] = np.quantile(s, 0.95, axis=0)
+        return out
+
+
+def _ess_of(dphi, ll, logw):
+    """Effective sample size after an incremental reweight by dphi*ll."""
+    lw = logw + dphi * ll
+    lw = lw - lw.max()
+    w = np.exp(lw)
+    return float(w.sum() ** 2 / (w * w).sum())
+
+
+def fit_smc(
+    ss_mod,
+    data: np.ndarray,
+    n_particles: int = 2048,
+    target_ess: float = 0.5,
+    resample_ess: float = 0.5,
+    n_mh: int = 2,
+    seed: int = 0,
+    policy: str = "xla",
+    max_stages: int = 200,
+    kalman_settle: int = 32,
+    interpret: bool = False,
+) -> SMCResult:
+    """Sample the posterior by adaptive likelihood-tempered SMC.
+
+    ``policy="pallas"`` routes the batched likelihood sweeps through the
+    lane-batched Pallas kernels (TPU) — ``n_particles`` should then be a
+    multiple of the 128-lane tile.  ``target_ess``/``resample_ess`` are
+    fractions of ``n_particles``.
+
+    Returns equal-weight posterior particles plus the log marginal data
+    density (the tempering by-product — compare with
+    ``stats.model_comparison.marginal_likelihood``).
+    """
+    if not 0 < target_ess < 1:
+        raise ValueError("target_ess must be in (0, 1)")
+    estimated = ss_mod.estimated
+    dim = len(estimated)
+    names = ss_mod.param_labels
+
+    f_post = jax.jit(ss_mod.build_batched_loglik(
+        data, n_settle=kalman_settle, policy=policy, interpret=interpret))
+
+    def logprior_one(u):
+        lp = jnp.asarray(0.0, jnp.result_type(float))
+        for i, p in enumerate(estimated):
+            x, logjac = p.prior.from_unconstrained(u[i])
+            lp = lp + p.prior.logpdf(x) + logjac
+        return lp
+
+    logprior_b = jax.jit(jax.vmap(logprior_one))
+
+    def loglik_np(U):
+        lpost = np.asarray(f_post(U))
+        lpri = np.asarray(logprior_b(U))
+        ll = lpost - lpri
+        # failed draws: -inf posterior with finite prior
+        return np.where(np.isfinite(lpost), ll, -np.inf)
+
+    @jax.jit
+    def mh_sweep(U, ll, lp, key, phi, L_prop, scale):
+        """One RW-Metropolis sweep over all particles (vmapped)."""
+        k_prop, k_acc = jax.random.split(key)
+        eps = jax.random.normal(k_prop, U.shape, U.dtype)
+        prop = U + scale * (eps @ L_prop.T)
+        lpost_p = f_post(prop)
+        lp_p = logprior_b(prop)
+        ll_p = jnp.where(jnp.isfinite(lpost_p), lpost_p - lp_p, -jnp.inf)
+        log_alpha = (lp_p + phi * ll_p) - (lp + phi * ll)
+        accept = jnp.log(jax.random.uniform(k_acc, (U.shape[0],))) < log_alpha
+        U = jnp.where(accept[:, None], prop, U)
+        ll = jnp.where(accept, ll_p, ll)
+        lp = jnp.where(accept, lp_p, lp)
+        return U, ll, lp, jnp.mean(accept.astype(U.dtype))
+
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(rng.integers(2**31))
+
+    # ---- stage 0: the prior cloud
+    cols = []
+    for i, p in enumerate(estimated):
+        k = jax.random.PRNGKey(rng.integers(2**31))
+        x = p.prior.sample(k, (n_particles,))
+        cols.append(jnp.asarray(p.prior.to_unconstrained(x)))
+    U = jnp.stack(cols, axis=1)
+    lp = logprior_b(U)
+    ll = loglik_np(U)
+    n_bad = int((~np.isfinite(ll)).sum())
+    if n_bad:
+        _log.info("SMC: %d/%d prior particles unsolvable (weight 0)",
+                  n_bad, n_particles)
+    ll_dev = jnp.asarray(np.where(np.isfinite(ll), ll, -1e30))
+
+    phi = 0.0
+    logw = np.zeros(n_particles)
+    logZ = 0.0
+    scale = 2.38 / np.sqrt(dim)
+    phis, accs, esss = [], [], []
+
+    for _stage in range(max_stages):
+        # ---- adaptive tempering step: bisect dphi to hit target ESS
+        ll_host = np.where(np.isfinite(ll), ll, -1e30)
+        lo, hi = 0.0, 1.0 - phi
+        if _ess_of(hi, ll_host, logw) >= target_ess * n_particles:
+            dphi = hi
+        else:
+            for _ in range(50):
+                mid = 0.5 * (lo + hi)
+                if _ess_of(mid, ll_host, logw) >= target_ess * n_particles:
+                    lo = mid
+                else:
+                    hi = mid
+            dphi = lo if lo > 0 else hi
+        phi_new = phi + dphi
+
+        # ---- correction: evidence increment + reweight
+        lw_n = logw - (logw.max() + np.log(np.exp(logw - logw.max()).sum()))
+        inc = lw_n + dphi * ll_host
+        m = inc.max()
+        logZ += m + np.log(np.exp(inc - m).sum())
+        logw = logw + dphi * ll_host
+        ess = _ess_of(0.0, ll_host * 0.0, logw)
+        phis.append(phi_new)
+        esss.append(ess)
+
+        # ---- selection
+        if ess < resample_ess * n_particles:
+            key, k_rs = jax.random.split(key)
+            U, ll_dev, lp = systematic_resample(
+                k_rs, jnp.asarray(logw), (U, ll_dev, lp))
+            ll = np.asarray(ll_dev)
+            logw = np.zeros(n_particles)
+
+        # ---- mutation: RW-MH at the new temperature
+        w = np.exp(logw - logw.max())
+        w = w / w.sum()
+        Un = np.asarray(U)
+        mu = w @ Un
+        cov = (Un - mu).T @ ((Un - mu) * w[:, None]) + 1e-10 * np.eye(dim)
+        L_prop = jnp.asarray(np.linalg.cholesky(cov))
+
+        acc_stage = []
+        for _ in range(n_mh):
+            key, k_mh = jax.random.split(key)
+            U, ll_dev, lp, acc = mh_sweep(U, ll_dev, lp, k_mh, phi_new,
+                                          L_prop, scale)
+            acc_stage.append(float(acc))
+        acc_mean = float(np.mean(acc_stage))
+        accs.append(acc_mean)
+        ll = np.asarray(ll_dev)
+        # Robbins-Monro-flavored scale adaptation toward 25% acceptance
+        scale = float(np.clip(scale * np.exp(2.0 * (acc_mean - 0.25)),
+                              1e-3, 10.0))
+
+        _log.info("SMC stage %d: phi=%.4f ess=%.0f accept=%.2f scale=%.3f",
+                  _stage + 1, phi_new, ess, acc_mean, scale)
+        phi = phi_new
+        if phi >= 1.0:
+            break
+    else:
+        raise RuntimeError(f"SMC did not reach phi=1 in {max_stages} stages")
+
+    # final equal-weight cloud
+    key, k_rs = jax.random.split(key)
+    U, ll_dev, lp = systematic_resample(
+        k_rs, jnp.asarray(logw), (U, ll_dev, lp))
+    constrained = np.asarray(jax.jit(jax.vmap(ss_mod.constrain))(U))
+    return SMCResult(
+        samples=constrained,
+        unconstrained=np.asarray(U),
+        log_evidence=float(logZ),
+        phi_schedule=np.asarray(phis),
+        accept_rates=np.asarray(accs),
+        ess_path=np.asarray(esss),
+        param_names=names,
+    )
