@@ -82,6 +82,6 @@ def main(num_chains: int = 256, num_warmup: int = 300,
 
 if __name__ == "__main__":
     c = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    w = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+    w = int(sys.argv[2]) if len(sys.argv) > 2 else 300
     s = int(sys.argv[3]) if len(sys.argv) > 3 else 200
     main(c, w, s)

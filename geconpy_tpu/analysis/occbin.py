@@ -40,7 +40,7 @@ import pandas as pd
 from ..codegen.lower import lower_to_jax
 from ..models.model import Model
 from ..models.perturbation import make_linearizer
-from ..ops.cycle_reduction import cycle_reduction, selection_matrix
+from ..ops.cycle_reduction import cycle_reduction
 from ..ops.precision import highest_precision
 
 __all__ = ["solve_occbin", "OccbinResult"]
@@ -55,7 +55,7 @@ class OccbinResult(NamedTuple):
     n_iter: int
 
 
-def _lower_condition(cond: str, mf, greater_means_true: bool):
+def _lower_condition(cond: str, mf):
     """``"lhs < rhs"`` -> jitted g(y_levels, x_ss, theta_full) with the
     convention g > 0 <=> condition true."""
     from ..lang.parser import parse_expression
@@ -237,14 +237,12 @@ def solve_occbin(
     lin_r = make_linearizer(mf_r, False)(x_ss, theta_r)
     x_ss_alt = x_ss[jnp.asarray(vperm)]
     lin_a = make_linearizer(mf_a, False)(x_ss_alt, theta_a)
-    inv = np.argsort(vperm)  # alt column j describes ref variable inv...
     # alt matrices have columns in ALT variable order; re-express in ref order
     col = jnp.asarray(vperm)
     A1 = lin_a.A[:, col]
     B1 = lin_a.B[:, col]
     C1 = lin_a.C[:, col]
     D1 = lin_a.D[:, jnp.asarray(sperm)]
-    del inv
     eps0 = jnp.zeros((k,), x_ss.dtype)
     c1 = jnp.asarray(mf_a.f_resid(x_ss_alt, x_ss_alt, x_ss_alt, eps0,
                                   x_ss_alt, theta_a))
@@ -254,10 +252,9 @@ def solve_occbin(
         raise RuntimeError("reference-regime policy solve failed "
                            "(Blanchard-Kahn must hold in the slack regime)")
     T0 = cr.T
-    _ = selection_matrix  # R0 comes out of the backward recursion at t=1
 
-    bind_fn = _lower_condition(bind, mf_r, False)
-    relax_fn = _lower_condition(relax, mf_r, False)
+    bind_fn = _lower_condition(bind, mf_r)
+    relax_fn = _lower_condition(relax, mf_r)
 
     eps_path = np.zeros((periods, k))
     if shocks:
