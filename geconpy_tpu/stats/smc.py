@@ -78,6 +78,8 @@ def fit_smc(
     max_stages: int = 200,
     kalman_settle: int = 32,
     interpret: bool = False,
+    mesh=None,
+    mesh_axis: str = "batch",
 ) -> SMCResult:
     """Sample the posterior by adaptive likelihood-tempered SMC.
 
@@ -85,6 +87,11 @@ def fit_smc(
     lane-batched Pallas kernels (TPU) — ``n_particles`` should then be a
     multiple of the 128-lane tile.  ``target_ess``/``resample_ess`` are
     fractions of ``n_particles``.
+
+    Pass a ``jax.sharding.Mesh`` (e.g. ``parallel.make_mesh()``) to shard
+    the particle cloud across devices: every likelihood sweep then runs
+    data-parallel via ``shard_map`` (``n_particles`` must be divisible by
+    the mesh size).  Results are independent of the mesh.
 
     Returns equal-weight posterior particles plus the log marginal data
     density (the tempering by-product — compare with
@@ -96,8 +103,20 @@ def fit_smc(
     dim = len(estimated)
     names = ss_mod.param_labels
 
-    f_post = jax.jit(ss_mod.build_batched_loglik(
-        data, n_settle=kalman_settle, policy=policy, interpret=interpret))
+    f_post_raw = ss_mod.build_batched_loglik(
+        data, n_settle=kalman_settle, policy=policy, interpret=interpret)
+    if mesh is not None:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as _P
+
+        if n_particles % mesh.size:
+            raise ValueError(f"n_particles ({n_particles}) must be divisible "
+                             f"by the mesh size ({mesh.size})")
+        f_post = jax.jit(shard_map(
+            f_post_raw, mesh=mesh, in_specs=_P(mesh_axis),
+            out_specs=_P(mesh_axis), check_rep=False))
+    else:
+        f_post = jax.jit(f_post_raw)
 
     def logprior_one(u):
         lp = jnp.asarray(0.0, jnp.result_type(float))

@@ -66,3 +66,21 @@ def test_smc_reproducible(setup):
     b = fit_smc(ss, data, n_particles=128, n_mh=1, seed=7, interpret=True)
     np.testing.assert_allclose(a.samples, b.samples)
     assert a.log_evidence == b.log_evidence
+
+
+def test_smc_mesh_sharded_matches(setup):
+    """Sharding the particle cloud over the 8-device virtual mesh leaves
+    the result unchanged (same seed, same draws)."""
+    ss, data, _ = setup
+    from geconpy_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    assert mesh.size == 8
+    a = fit_smc(ss, data, n_particles=128, n_mh=1, seed=5, interpret=True)
+    b = fit_smc(ss, data, n_particles=128, n_mh=1, seed=5, interpret=True,
+                mesh=mesh)
+    np.testing.assert_allclose(a.samples, b.samples, rtol=1e-8)
+    np.testing.assert_allclose(a.log_evidence, b.log_evidence, rtol=1e-8)
+
+    with pytest.raises(ValueError, match="divisible"):
+        fit_smc(ss, data, n_particles=100, mesh=mesh, interpret=True)
