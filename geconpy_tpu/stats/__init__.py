@@ -22,6 +22,11 @@ from .nonlinear import (
     filter_data_second_order,
     quadratic_drive_covariance,
 )
+from .dsge_var import (
+    dsge_var_lambda_profile,
+    dsge_var_marginal_likelihood,
+    dsge_var_moments,
+)
 from .forecast import conditional_forecast, posterior_forecast
 from .identification import IdentificationResult, iskrev_identification
 from .nuts import NUTSResult, nuts_kernel, sample_nuts
@@ -59,6 +64,8 @@ __all__ = [
     "NUTSResult", "nuts_kernel", "sample_nuts",
     "posterior_forecast", "conditional_forecast",
     "SMCResult", "fit_smc",
+    "dsge_var_marginal_likelihood", "dsge_var_lambda_profile",
+    "dsge_var_moments",
     "effective_sample_size", "split_rhat", "summarize_chains",
     "stationary_covariance", "stationary_covariance_matrix",
     "autocovariance", "autocovariance_matrix", "autocorrelation", "fevd",
