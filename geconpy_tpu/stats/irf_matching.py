@@ -1,0 +1,223 @@
+"""Impulse-response matching estimation (minimum-distance).
+
+Christiano-Eichenbaum-Evans style: choose structural parameters so the
+model's IRFs match given target responses (typically from an identified
+SVAR) under a weighted quadratic distance.  No counterpart in the
+reference gEconpy (beyond parity).
+
+The TPU angle: the whole map ``theta -> steady state -> linearization ->
+policy solve -> IRF stack`` is one jitted, *differentiable* program — the
+implicit-function adjoints on the Newton steady state and the
+cycle-reduction solve make the distance gradient exact, so the minimum-
+distance problem is solved by the same Adam-to-basin + Newton-polish
+pattern as the posterior mode search, not by derivative-free simplex
+crawling.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ..ops.cycle_reduction import cycle_reduction, selection_matrix
+from ..ops.precision import highest_precision
+
+__all__ = ["IRFMatchResult", "build_irf_fn", "fit_irf_matching"]
+
+
+class IRFMatchResult(NamedTuple):
+    params: dict               # point estimates (constrained space)
+    std_errors: dict           # Gauss-Newton delta-method SEs
+    loss: float                # weighted SSE at the optimum
+    fitted: pd.DataFrame       # model IRFs at the estimate, target layout
+    success: bool              # solver flags clean at the optimum
+    n_obs: int                 # number of matched IRF entries
+
+
+def build_irf_fn(model, shock: str, periods: int = 40,
+                 shock_size: float = 1.0):
+    """Jittable ``theta_free -> (irf (periods, n_vars), ok)`` for one shock.
+
+    IRFs are level deviations from the steady state (linear solution,
+    ``loglin=False``) to a ``shock_size`` impulse at t = 0; row h is the
+    response at horizon h (impact row included).
+    """
+    mf = model.functions
+    if shock not in mf.shock_names:
+        raise KeyError(f"unknown shock {shock!r}; shocks: {mf.shock_names}")
+    j = mf.shock_names.index(shock)
+    linearize = model.linearizer(loglin_variables=False)
+    ss_solver = model.ss_solver
+
+    @highest_precision
+    def irf(theta_free):
+        sol = ss_solver(jnp.asarray(theta_free))
+        lin = linearize(sol.x_ss, sol.theta_full)
+        cr = cycle_reduction(lin.A, lin.B, lin.C)
+        R = selection_matrix(lin.B, lin.C, cr.T, lin.D)
+        x0 = shock_size * R[:, j]
+
+        def step(x, _):
+            return cr.T @ x, x
+
+        _, path = jax.lax.scan(step, x0, None, length=periods)
+        ok = sol.success & cr.success & jnp.all(jnp.isfinite(path))
+        return path, ok
+
+    return irf
+
+
+def fit_irf_matching(
+    model,
+    target: dict[str, pd.DataFrame],
+    estimated: list[str],
+    weights: dict[str, pd.DataFrame] | None = None,
+    shock_size: float = 1.0,
+    x0: dict | None = None,
+    adam_steps: int = 400,
+    newton_steps: int = 6,
+    learning_rate: float = 0.02,
+) -> IRFMatchResult:
+    """Estimate ``estimated`` parameters by matching the target IRFs.
+
+    ``target``: ``{shock_name: DataFrame}`` with columns = variable names
+    and index = horizons (0 = impact); NaN entries are skipped.
+    ``weights`` mirrors the target shape (defaults to 1); with inverse-
+    variance weights the reported standard errors are the classical
+    minimum-distance delta-method ones, ``sqrt(diag((J'WJ)^{-1}))``.
+
+    Parameters with a ``positive`` assumption in the GCN are optimized in
+    log space; others in levels.  Solver failures during the search are
+    rejected (Adam gradients are zeroed, Newton steps not taken).
+    """
+    mf = model.functions
+    names = [p.name for p in mf.free_params]
+    for e in estimated:
+        if e not in names:
+            raise KeyError(f"{e!r} is not a free parameter ({names})")
+    idx = jnp.asarray([names.index(e) for e in estimated])
+    positive = jnp.asarray([
+        bool(mf.free_params[names.index(e)].assumptions0.get("positive"))
+        for e in estimated])
+
+    theta0_full = model.default_theta(**(x0 or {}))
+    z0 = jnp.where(positive, jnp.log(theta0_full[idx]), theta0_full[idx])
+
+    def to_theta(z):
+        vals = jnp.where(positive, jnp.exp(z), z)
+        return theta0_full.at[idx].set(vals)
+
+    # flatten the target into index arrays once (host side)
+    shocks = list(target)
+    irf_fns = {s: build_irf_fn(model, s, periods=int(max(
+        np.asarray(df.index, dtype=int)) + 1), shock_size=shock_size)
+        for s, df in target.items()}
+    pieces = []
+    for s, df in target.items():
+        wdf = None if weights is None else weights.get(s)
+        for var in df.columns:
+            if var not in mf.variable_names:
+                raise KeyError(f"{var!r} is not a model variable")
+            v = mf.variable_names.index(var)
+            col = df[var].to_numpy(dtype=float)
+            fin = np.isfinite(col)
+            hs = np.asarray(df.index, dtype=int)[fin]
+            w = (np.ones(fin.sum()) if wdf is None
+                 else wdf[var].to_numpy(dtype=float)[fin])
+            pieces.append((s, v, hs, col[fin], w))
+    if not pieces:
+        raise ValueError("target contains no finite entries")
+    n_obs = int(sum(len(p[3]) for p in pieces))
+
+    def residuals(z):
+        theta = to_theta(z)
+        paths, oks = {}, []
+        for s in shocks:
+            path, ok = irf_fns[s](theta)
+            paths[s] = path
+            oks.append(ok)
+        rs = []
+        for s, v, hs, tgt, w in pieces:
+            rs.append(jnp.sqrt(jnp.asarray(w)) *
+                      (paths[s][jnp.asarray(hs), v] - jnp.asarray(tgt)))
+        return jnp.concatenate(rs), jnp.asarray(oks).all()
+
+    def loss(z):
+        r, ok = residuals(z)
+        val = jnp.sum(r * r)
+        return jnp.where(ok, val, jnp.inf)
+
+    value_and_grad = jax.value_and_grad(loss)
+
+    @jax.jit
+    def adam(z):
+        def step(carry, i):
+            z, m, v = carry
+            _, g = value_and_grad(z)
+            g = jnp.where(jnp.isfinite(g), g, 0.0)
+            m = 0.9 * m + 0.1 * g
+            v = 0.999 * v + 0.001 * g * g
+            mhat = m / (1 - 0.9 ** (i + 1))
+            vhat = v / (1 - 0.999 ** (i + 1))
+            return (z - learning_rate * mhat / (jnp.sqrt(vhat) + 1e-8),
+                    m, v), None
+
+        (z, _, _), _ = jax.lax.scan(
+            step, (z, jnp.zeros_like(z), jnp.zeros_like(z)),
+            jnp.arange(adam_steps))
+        return z
+
+    @jax.jit
+    @highest_precision
+    def gauss_newton(z):
+        def step(z, _):
+            r, _ = residuals(z)
+            J = jax.jacrev(lambda zz: residuals(zz)[0])(z)
+            H = J.T @ J + 1e-12 * jnp.eye(z.shape[0], dtype=z.dtype)
+            z_new = z - jnp.linalg.solve(H, J.T @ r)
+            f, f_new = jnp.sum(r * r), loss(z_new)
+            better = jnp.isfinite(f_new) & (f_new <= f)
+            return jnp.where(better, z_new, z), None
+
+        z, _ = jax.lax.scan(step, z, None, length=newton_steps)
+        return z
+
+    z = gauss_newton(adam(z0))
+    final_loss = float(loss(z))
+    r, ok = residuals(z)
+
+    # delta-method SEs in constrained space: d theta/d z = theta (log) or 1
+    J = jax.jacrev(lambda zz: residuals(zz)[0])(z)
+    cov_z = np.linalg.inv(np.asarray(J.T @ J)
+                          + 1e-12 * np.eye(len(estimated)))
+    theta_hat = np.asarray(to_theta(z))[np.asarray(idx)]
+    scale = np.where(np.asarray(positive), theta_hat, 1.0)
+    se = np.sqrt(np.clip(np.diag(cov_z), 0, np.inf)) * scale
+
+    fitted_rows = []
+    theta_z = to_theta(z)
+    for s, df in target.items():
+        path, _ = jax.jit(irf_fns[s])(theta_z)
+        path = np.asarray(path)
+        for var in df.columns:
+            v = mf.variable_names.index(var)
+            for h in np.asarray(df.index, dtype=int):
+                fitted_rows.append((s, var, int(h), float(path[h, v]),
+                                    float(df[var].loc[h])))
+    fitted = pd.DataFrame(
+        fitted_rows, columns=["shock", "variable", "horizon", "model",
+                              "target"]).set_index(
+        ["shock", "variable", "horizon"])
+
+    return IRFMatchResult(
+        params=dict(zip(estimated, theta_hat.tolist())),
+        std_errors=dict(zip(estimated, se.tolist())),
+        loss=final_loss,
+        fitted=fitted,
+        success=bool(ok),
+        n_obs=n_obs,
+    )
