@@ -89,6 +89,9 @@ class DSGEStateSpace:
         ss_obs_intercept: bool = False,
         full_shock_covariance: bool = False,
         lkj_eta: float = 1.0,
+        p0_init: str = "stationary",
+        diffuse_kappa: float = 1e6,
+        diffuse_presample: int = 0,
     ) -> "DSGEStateSpace":
         """Choose observables, measurement error, and estimated parameters.
 
@@ -119,9 +122,29 @@ class DSGEStateSpace:
           (``gEconpy/model/statespace.py:240,827``), TPU-first
           parameterization (unconstrained scalars, exact log-jacobians, no
           PSD projection needed).
+        - ``p0_init="diffuse"``: approximate-diffuse filter initialization
+          P0 = ``diffuse_kappa`` * I instead of the stationary Lyapunov
+          covariance, for models with (near-)unit roots — the stability
+          gate then admits unit roots (but not explosive ones), and the
+          first ``diffuse_presample`` periods' likelihood contributions are
+          dropped (set it >= the number of diffuse states to approximate
+          the exact-diffuse likelihood).  Requires ``filter_type=
+          "sequential"`` or ``"parallel"``.
         """
         model = self.model
         mf = model.functions
+
+        if p0_init not in ("stationary", "diffuse"):
+            raise ValueError(f"p0_init must be 'stationary' or 'diffuse', "
+                             f"got {p0_init!r}")
+        if p0_init == "diffuse" and filter_type not in ("sequential",
+                                                        "parallel"):
+            raise ValueError("p0_init='diffuse' requires filter_type="
+                             "'sequential' or 'parallel' (the constant-gain "
+                             "filters assume stationarity)")
+        self.p0_init = p0_init
+        self.diffuse_kappa = float(diffuse_kappa)
+        self.diffuse_presample = int(diffuse_presample)
 
         observation_equations = dict(observation_equations or {})
         for obs_name, (var, method, period) in (aggregate or {}).items():
@@ -526,10 +549,25 @@ class DSGEStateSpace:
             lin_A, lin_B, lin_C, lin_D = (pre["A"], pre["B"], pre["C"],
                                           pre["D"])
             rho = spectral_radius(jax.lax.stop_gradient(T))
-            stable = jnp.isfinite(rho) & (rho < 1.0 - 1e-9)
+            diffuse = getattr(self, "p0_init", "stationary") == "diffuse"
+            # diffuse init admits unit roots (random walks) but not
+            # explosive dynamics; the Gelfand estimate overshoots by
+            # O(log k / k) on defective unit eigenvalues, hence the slack
+            rho_max = 1.0 + 1e-3 if diffuse else 1.0 - 1e-9
+            stable = jnp.isfinite(rho) & (rho < rho_max)
 
             det_norm = jnp.max(jnp.abs(lin_A + lin_B @ T + lin_C @ T @ T))
             stoch_norm = jnp.max(jnp.abs((lin_B + lin_C @ T) @ R + lin_D))
+            if diffuse:
+                # cycle reduction converges only linearly at unit roots, so
+                # its internal criterion can flag failure on an EXACT
+                # solvent; the residual is ground truth, and explosive
+                # impostors are rejected by the stability gate above
+                from ..ops.tolerances import success_tol
+
+                tol = success_tol(dtype, 1e-7)
+                exact = (det_norm < tol) & (stoch_norm < tol)                     & jnp.all(jnp.isfinite(T)) & jnp.all(jnp.isfinite(R))
+                solver_ok = solver_ok | (exact & stable)
 
             # shock covariance
             sigmas = []
@@ -654,8 +692,17 @@ class DSGEStateSpace:
         elif filter_type == "parallel":
             from ..ops.parallel_kalman import parallel_kalman_filter
 
-            def _loglik(*args, **kw):
-                return parallel_kalman_filter(*args, **kw).loglik
+            if getattr(self, "p0_init", "stationary") == "diffuse":
+                kappa, pre = self.diffuse_kappa, self.diffuse_presample
+
+                def _loglik(y_, T_, R_, Q_, Z_, H_, d=None):
+                    P0 = kappa * jnp.eye(T_.shape[0], dtype=T_.dtype)
+                    res = parallel_kalman_filter(y_, T_, R_, Q_, Z_, H_,
+                                                 d=d, P0=P0)
+                    return jnp.sum(res.loglik_t[pre:])
+            else:
+                def _loglik(*args, **kw):
+                    return parallel_kalman_filter(*args, **kw).loglik
         elif filter_type == "steady_state":
             import functools
 
@@ -663,6 +710,13 @@ class DSGEStateSpace:
 
             _loglik = functools.partial(steady_state_kalman_loglik,
                                         n_settle=self.kalman_settle)
+        elif getattr(self, "p0_init", "stationary") == "diffuse":
+            kappa, pre = self.diffuse_kappa, self.diffuse_presample
+
+            def _loglik(y_, T_, R_, Q_, Z_, H_, d=None):
+                P0 = kappa * jnp.eye(T_.shape[0], dtype=T_.dtype)
+                res = kalman_filter(y_, T_, R_, Q_, Z_, H_, d=d, P0=P0)
+                return jnp.sum(res.loglik_t[pre:])
         else:
             def _loglik(*args, **kw):
                 return kalman_filter(*args, **kw).loglik
