@@ -30,6 +30,7 @@ from .dsge_var import (
 from .forecast import conditional_forecast, posterior_forecast
 from .identification import IdentificationResult, iskrev_identification
 from .irf_matching import IRFMatchResult, build_irf_fn, fit_irf_matching
+from .moment_matching import MomentMatchResult, fit_moment_matching, model_moments
 from .nuts import NUTSResult, nuts_kernel, sample_nuts
 from .pmmh import PMMHResult, sample_pmmh
 from .perturbation_diagnostics import (
@@ -68,6 +69,7 @@ __all__ = [
     "dsge_var_marginal_likelihood", "dsge_var_lambda_profile",
     "dsge_var_moments",
     "IRFMatchResult", "build_irf_fn", "fit_irf_matching",
+    "MomentMatchResult", "fit_moment_matching", "model_moments",
     "effective_sample_size", "split_rhat", "summarize_chains",
     "stationary_covariance", "stationary_covariance_matrix",
     "autocovariance", "autocovariance_matrix", "autocorrelation", "fevd",
