@@ -47,14 +47,41 @@ def neg_hessian_fn(logpost_fn, u_proto):
     is made once per logpost by probing with ``jax.eval_shape``.
     """
     exact = jax.hessian(lambda x: -logpost_fn(x))
-    try:
-        jax.eval_shape(exact, jax.ShapeDtypeStruct(
-            jnp.shape(u_proto), jnp.asarray(u_proto).dtype))
-        return exact
-    except TypeError:
-        pass  # forward-mode rejected: custom_vjp in the graph
-
     grad = jax.grad(lambda x: -logpost_fn(x))
+
+    def _exact_traces():
+        try:
+            jax.eval_shape(exact, jax.ShapeDtypeStruct(
+                jnp.shape(u_proto), jnp.asarray(u_proto).dtype))
+            return True
+        except TypeError:
+            return False  # forward-mode rejected: custom_vjp in the graph
+
+    def _exact_is_right():
+        """Forward-over-reverse can also FAIL SILENTLY: jvp through a
+        ``stop_gradient`` inside an implicit-adjoint backward (e.g. the
+        stationary filter's DARE fixed point) zeroes the tangents and
+        returns a near-zero Hessian with no error.  Validate one FD
+        directional derivative of the exact gradient at the prototype
+        point before trusting the exact path."""
+        u = jnp.asarray(u_proto)
+        if isinstance(u, jax.core.Tracer):
+            return False  # can't validate under trace; FD is always right
+        H = np.asarray(exact(u))
+        if not np.all(np.isfinite(H)):
+            return False
+        eps = float(jnp.finfo(u.dtype).eps)
+        e = jnp.ones_like(u) / np.sqrt(u.shape[0])
+        h = eps ** (1.0 / 3.0) * max(1.0, float(jnp.linalg.norm(u)))
+        fd_dir = np.asarray((grad(u + h * e) - grad(u - h * e)) / (2 * h))
+        if not np.all(np.isfinite(fd_dir)):
+            return True  # cannot probe here (e.g. -inf shell); trust trace
+        ref = float(np.linalg.norm(fd_dir))
+        err = float(np.linalg.norm(H @ np.asarray(e) - fd_dir))
+        return err <= 1e-3 * max(ref, 1e-8)
+
+    if _exact_traces() and _exact_is_right():
+        return exact
 
     def fd_hessian(u):
         u = jnp.asarray(u)
