@@ -24,6 +24,7 @@ import numpy as np
 import pandas as pd
 
 from ..ops.cycle_reduction import cycle_reduction, selection_matrix
+from ._optim import adam_gauss_newton
 from ..ops.precision import highest_precision
 
 __all__ = ["IRFMatchResult", "build_irf_fn", "fit_irf_matching"]
@@ -146,48 +147,11 @@ def fit_irf_matching(
                       (paths[s][jnp.asarray(hs), v] - jnp.asarray(tgt)))
         return jnp.concatenate(rs), jnp.asarray(oks).all()
 
-    def loss(z):
-        r, ok = residuals(z)
-        val = jnp.sum(r * r)
-        return jnp.where(ok, val, jnp.inf)
-
-    value_and_grad = jax.value_and_grad(loss)
-
-    @jax.jit
-    def adam(z):
-        def step(carry, i):
-            z, m, v = carry
-            _, g = value_and_grad(z)
-            g = jnp.where(jnp.isfinite(g), g, 0.0)
-            m = 0.9 * m + 0.1 * g
-            v = 0.999 * v + 0.001 * g * g
-            mhat = m / (1 - 0.9 ** (i + 1))
-            vhat = v / (1 - 0.999 ** (i + 1))
-            return (z - learning_rate * mhat / (jnp.sqrt(vhat) + 1e-8),
-                    m, v), None
-
-        (z, _, _), _ = jax.lax.scan(
-            step, (z, jnp.zeros_like(z), jnp.zeros_like(z)),
-            jnp.arange(adam_steps))
-        return z
-
-    @jax.jit
-    @highest_precision
-    def gauss_newton(z):
-        def step(z, _):
-            r, _ = residuals(z)
-            J = jax.jacrev(lambda zz: residuals(zz)[0])(z)
-            H = J.T @ J + 1e-12 * jnp.eye(z.shape[0], dtype=z.dtype)
-            z_new = z - jnp.linalg.solve(H, J.T @ r)
-            f, f_new = jnp.sum(r * r), loss(z_new)
-            better = jnp.isfinite(f_new) & (f_new <= f)
-            return jnp.where(better, z_new, z), None
-
-        z, _ = jax.lax.scan(step, z, None, length=newton_steps)
-        return z
-
-    z = gauss_newton(adam(z0))
-    final_loss = float(loss(z))
+    z = adam_gauss_newton(residuals, z0, adam_steps=adam_steps,
+                          newton_steps=newton_steps,
+                          learning_rate=learning_rate)
+    r_fin, _ = residuals(z)
+    final_loss = float(jnp.sum(r_fin * r_fin))
     r, ok = residuals(z)
 
     # delta-method SEs in constrained space: d theta/d z = theta (log) or 1

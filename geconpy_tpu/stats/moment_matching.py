@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
+from ._optim import adam_gauss_newton
 from .covariance import autocovariance
 
 __all__ = ["MomentMatchResult", "fit_moment_matching", "model_moments"]
@@ -165,46 +166,12 @@ def fit_moment_matching(
         m = model_moments(sol, lags)
         return apply_sqrtW(m - m_data_j), ok
 
-    def loss(u):
-        r, ok = residuals(u)
-        return jnp.where(ok, jnp.sum(r * r), jnp.inf)
-
-    value_and_grad = jax.value_and_grad(loss)
-
-    @jax.jit
-    def adam(u):
-        def step(carry, i):
-            u, m, v = carry
-            _, g = value_and_grad(u)
-            g = jnp.where(jnp.isfinite(g), g, 0.0)
-            m = 0.9 * m + 0.1 * g
-            v = 0.999 * v + 0.001 * g * g
-            mhat = m / (1 - 0.9 ** (i + 1))
-            vhat = v / (1 - 0.999 ** (i + 1))
-            return (u - learning_rate * mhat / (jnp.sqrt(vhat) + 1e-8),
-                    m, v), None
-
-        (u, _, _), _ = jax.lax.scan(
-            step, (u, jnp.zeros_like(u), jnp.zeros_like(u)),
-            jnp.arange(adam_steps))
-        return u
-
-    @jax.jit
-    def gauss_newton(u):
-        def step(u, _):
-            r, _ = residuals(u)
-            J = jax.jacrev(lambda uu: residuals(uu)[0])(u)
-            Hm = J.T @ J + 1e-12 * jnp.eye(u.shape[0], dtype=u.dtype)
-            u_new = u - jnp.linalg.solve(Hm, J.T @ r)
-            better = jnp.isfinite(loss(u_new)) & (loss(u_new) <= jnp.sum(r * r))
-            return jnp.where(better, u_new, u), None
-
-        u, _ = jax.lax.scan(step, u, None, length=newton_steps)
-        return u
-
     u = jnp.asarray(ss_mod.initial_position() if u0 is None else u0)
-    u = gauss_newton(adam(u))
-    final_loss = float(loss(u))
+    u = adam_gauss_newton(residuals, u, adam_steps=adam_steps,
+                          newton_steps=newton_steps,
+                          learning_rate=learning_rate)
+    r_fin, _ = residuals(u)
+    final_loss = float(jnp.sum(r_fin * r_fin))
     r, ok = residuals(u)
 
     # GMM sandwich: G = d m / d theta (constrained); with Wd = W used in
