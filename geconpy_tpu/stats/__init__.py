@@ -11,6 +11,7 @@ from .diagnostics import effective_sample_size, split_rhat, summarize_chains
 from .estimation import PosteriorResult, fit, fit_pmmh
 from .ml import MLResult, fit_ml
 from .model_comparison import (
+    compare_models,
     find_map,
     laplace_evidence,
     marginal_likelihood,
@@ -71,7 +72,7 @@ __all__ = [
     "dsge_var_moments",
     "IRFMatchResult", "build_irf_fn", "fit_irf_matching",
     "MomentMatchResult", "fit_moment_matching", "model_moments",
-    "MLResult", "fit_ml",
+    "MLResult", "fit_ml", "compare_models",
     "effective_sample_size", "split_rhat", "summarize_chains",
     "stationary_covariance", "stationary_covariance_matrix",
     "autocovariance", "autocovariance_matrix", "autocorrelation", "fevd",

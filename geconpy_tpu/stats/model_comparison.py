@@ -224,3 +224,36 @@ def marginal_likelihood(ss_mod, data, result=None, method: str = "laplace",
         return modified_harmonic_mean(result.unconstrained, result.logp,
                                       **kwargs)
     raise ValueError(f"method must be 'laplace' or 'harmonic', got {method!r}")
+
+
+def compare_models(candidates: dict, data, method: str = "laplace",
+                   prior_probs: dict | None = None, **kwargs):
+    """Evidence table for competing models of the SAME dataset.
+
+    ``candidates``: ``{name: DSGEStateSpace}`` (each already configured
+    with its own observables mapped to the columns of ``data``).  Returns
+    a DataFrame sorted by log marginal likelihood with log Bayes factors
+    vs the best model and posterior model probabilities (uniform model
+    prior unless ``prior_probs`` gives one weight per name).
+
+    Role: Dynare's ``model_comparison`` command (no reference
+    counterpart).
+    """
+    import pandas as pd
+
+    if prior_probs is None:
+        prior_probs = {k: 1.0 / len(candidates) for k in candidates}
+    if set(prior_probs) != set(candidates):
+        raise ValueError("prior_probs keys must match candidates")
+    rows = {}
+    for name, ss_mod in candidates.items():
+        rows[name] = marginal_likelihood(ss_mod, data, method=method,
+                                         **kwargs)
+    out = pd.DataFrame({"log_ml": rows}).sort_values(
+        "log_ml", ascending=False)
+    out["log_bayes_factor"] = out["log_ml"] - out["log_ml"].iloc[0]
+    logw = out["log_ml"] + np.log(
+        np.asarray([prior_probs[k] for k in out.index]))
+    w = np.exp(logw - logw.max())
+    out["posterior_prob"] = w / w.sum()
+    return out

@@ -150,3 +150,39 @@ def test_hessian_fd_fallback_on_custom_vjp_graph():
     np.testing.assert_allclose(np.asarray(u_mode), np.asarray(mu), atol=1e-6)
     ml = laplace_evidence(logpost, u_mode)
     np.testing.assert_allclose(ml, logZ, atol=1e-6)
+
+
+def test_compare_models_table():
+    """Evidence table: the generating specification wins against a
+    restricted (rho_A frozen at the wrong value) alternative."""
+    from geconpy_tpu import get_example_gcn, model_from_gcn
+    from geconpy_tpu.stats.model_comparison import compare_models
+    from geconpy_tpu.stats.statespace import DSGEStateSpace
+
+    gcn = get_example_gcn("rbc_estimation")
+    full = model_from_gcn(gcn, verbose=False)
+    ss = DSGEStateSpace(full)
+    ss.configure(observed_states=["Y"],
+                 constant_params=["alpha", "sigma_C"],
+                 measurement_error={"Y": 0.005})
+    data, _ = ss.data_from_prior(jax.random.PRNGKey(2), periods=150,
+                                 params={"rho_A": 0.85, "sigma_A": 0.012})
+    data = np.asarray(data)
+
+    wrong = model_from_gcn(gcn, verbose=False)
+    ss_wrong = DSGEStateSpace(wrong)
+    ss_wrong.configure(observed_states=["Y"],
+                       measurement_error={"Y": 0.005},
+                       constant_params=["alpha", "sigma_C", "rho_A"])
+    # freeze rho_A at the default (0.95) while the data used 0.85: fewer
+    # parameters but misspecified — evidence should prefer the full model
+    tab = compare_models({"full": ss, "restricted": ss_wrong}, data,
+                         adam_steps=300)
+    assert list(tab.columns) == ["log_ml", "log_bayes_factor",
+                                 "posterior_prob"]
+    assert tab.index[0] == "full"
+    assert tab.loc["full", "posterior_prob"] > 0.5
+    assert np.isclose(tab["posterior_prob"].sum(), 1.0)
+
+    with pytest.raises(ValueError, match="keys must match"):
+        compare_models({"full": ss}, data, prior_probs={"other": 1.0})
