@@ -1,5 +1,5 @@
 from .dynare import DynarePrinter, make_mod_file
-from .occbin import OccbinResult, solve_occbin
+from .occbin import OccbinResult, occbin_irf, solve_occbin
 from .perfect_foresight import PerfectForesightResult, solve_perfect_foresight
 from .simulate import (
     impulse_response,
@@ -12,7 +12,7 @@ from .simulate import (
 
 __all__ = [
     "DynarePrinter", "make_mod_file",
-    "OccbinResult", "solve_occbin",
+    "OccbinResult", "solve_occbin", "occbin_irf",
     "PerfectForesightResult", "solve_perfect_foresight",
     "impulse_response", "impulse_response_function", "simulate",
     "simulate_linear", "simulate_second_order",

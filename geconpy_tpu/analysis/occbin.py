@@ -43,7 +43,7 @@ from ..models.perturbation import make_linearizer
 from ..ops.cycle_reduction import cycle_reduction
 from ..ops.precision import highest_precision
 
-__all__ = ["solve_occbin", "OccbinResult"]
+__all__ = ["solve_occbin", "occbin_irf", "OccbinResult"]
 
 _OPS = ["<=", ">=", "<", ">"]
 
@@ -292,3 +292,46 @@ def solve_occbin(
                       index=pd.RangeIndex(1, periods + 1, name="time"))
     return OccbinResult(df, np.asarray(mask).astype(np.int8),
                         bool(ok), int(it))
+
+
+def occbin_irf(
+    model_ref: Model,
+    model_alt: Model,
+    bind: str,
+    relax: str,
+    shock: str,
+    sizes=(1.0, -1.0),
+    periods: int = 60,
+    maxiter: int = 100,
+    **updates,
+) -> pd.DataFrame:
+    """Piecewise-linear IRFs: one OccBin path per shock size.
+
+    The classic asymmetry diagnostic — e.g. at the ZLB a contractionary
+    shock is amplified while an expansionary one is not, so +1/-1 sd
+    responses are no longer mirror images.  Returns a DataFrame indexed by
+    (size, time) with one column per variable in *deviations from the
+    reference steady state* (comparable across sizes), plus a ``regime``
+    column.
+    """
+    frames = []
+    x_ss = None
+    for size in sizes:
+        res = solve_occbin(
+            model_ref, model_alt, bind, relax, periods=periods,
+            shocks={shock: np.array([float(size)])}, maxiter=maxiter,
+            **updates)
+        if not res.success:
+            raise RuntimeError(
+                f"occbin regime fixed point not reached for size {size}")
+        if x_ss is None:
+            theta = model_ref.default_theta(
+                **{k: v for k, v in updates.items()
+                   if k in model_ref.param_names})
+            x_ss = np.asarray(model_ref.ss_solver(jnp.asarray(theta)).x_ss)
+        dev = res.trajectory - x_ss[None, :]
+        dev["regime"] = res.regime
+        dev["size"] = float(size)
+        frames.append(dev.reset_index())
+    out = pd.concat(frames, ignore_index=True)
+    return out.set_index(["size", "time"])

@@ -179,3 +179,23 @@ def test_zlb_forward_looking():
     # once the constraint is slack for good, dynamics revert (same decay)
     np.testing.assert_allclose(x[spell + 5:], x_lin[spell + 5:], rtol=0.05,
                                atol=1e-5)
+
+
+def test_occbin_irf_asymmetry():
+    """+/- demand shocks at the ZLB are NOT mirror images: the negative
+    one hits the bound and is amplified, the positive one stays linear."""
+    from geconpy_tpu.analysis.occbin import occbin_irf
+
+    ref = model_from_gcn(NK_REF, verbose=False)
+    alt = model_from_gcn(NK_ALT, verbose=False,
+                         simplify_constants_flag=False)
+    irf = occbin_irf(ref, alt, bind=f"inot[] < -0.0101",
+                     relax=f"inot[] > -0.0101", shock="epsilon_rn",
+                     sizes=(0.05, -0.05), periods=40)
+    xp = irf.loc[0.05]["x"].to_numpy()
+    xn = irf.loc[-0.05]["x"].to_numpy()
+    # positive shock: constraint slack everywhere, pure linear response
+    assert not irf.loc[0.05]["regime"].to_numpy().any()
+    # negative shock: binds at the start and the recession is amplified
+    assert irf.loc[-0.05]["regime"].to_numpy()[0] == 1
+    assert abs(xn[0]) > abs(xp[0]) * 1.5
