@@ -104,9 +104,6 @@ def hamilton_filter(y, h: int = 8, p: int = 4):
     trend = np.full_like(y, np.nan)
     cycle = np.full_like(y, np.nan)
     rows = np.arange(p - 1, T - h)
-    X = np.column_stack([np.ones(len(rows))]
-                        + [y[rows - i] for i in range(p)])
-    # X columns for panels: build per series
     for j in range(k):
         Xj = np.column_stack([np.ones(len(rows))]
                              + [y[rows - i, j] for i in range(p)])

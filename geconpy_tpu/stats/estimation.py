@@ -256,6 +256,12 @@ def fit_pmmh(
 
     constrain_all = jax.jit(jax.vmap(jax.vmap(ss_mod.constrain)))
     constrained = np.asarray(constrain_all(res.samples))
+    # logp must be the log JOINT posterior (loglik + logprior), not the bare
+    # particle-filter likelihood: downstream consumers such as
+    # ``marginal_likelihood(result=..., method="harmonic")`` assume the
+    # posterior density up to the evidence constant.
+    logprior_all = jax.jit(jax.vmap(jax.vmap(logprior)))
+    logp_joint = np.asarray(res.loglik) + np.asarray(logprior_all(res.samples))
     acc = np.asarray(res.accept_rate)
     if acc.min() < 0.05:
         _log.warning("PMMH chain acceptance as low as %.3f — increase "
@@ -265,7 +271,7 @@ def fit_pmmh(
     return PosteriorResult(
         samples=constrained,
         unconstrained=np.asarray(res.samples),
-        logp=np.asarray(res.loglik),
+        logp=logp_joint,
         param_names=ss_mod.param_labels,
         diverging=np.zeros((n_c, n_d), dtype=bool),
         accept_prob=np.repeat(acc[:, None], n_d, axis=1),

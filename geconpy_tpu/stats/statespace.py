@@ -566,7 +566,9 @@ class DSGEStateSpace:
                 from ..ops.tolerances import success_tol
 
                 tol = success_tol(dtype, 1e-7)
-                exact = (det_norm < tol) & (stoch_norm < tol)                     & jnp.all(jnp.isfinite(T)) & jnp.all(jnp.isfinite(R))
+                exact = ((det_norm < tol) & (stoch_norm < tol)
+                         & jnp.all(jnp.isfinite(T))
+                         & jnp.all(jnp.isfinite(R)))
                 solver_ok = solver_ok | (exact & stable)
 
             # shock covariance
