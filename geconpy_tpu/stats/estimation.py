@@ -9,6 +9,7 @@ on device; multi-device runs shard chain blocks over a mesh (see
 from __future__ import annotations
 
 import logging
+import weakref
 from dataclasses import dataclass
 
 import jax
@@ -25,6 +26,28 @@ _log = logging.getLogger(__name__)
 __all__ = ["fit", "fit_pmmh", "PosteriorResult", "make_batched_logp_grad"]
 
 
+_LOGP_GRAD_CACHE = weakref.WeakKeyDictionary()
+_JIT_CACHE = weakref.WeakKeyDictionary()
+
+
+def _cached_jit(fn):
+    """``jax.jit(fn)`` reusing the same wrapper per function object, so
+    repeat calls hit the compiled-executable cache."""
+    wrapper = _JIT_CACHE.get(fn)
+    if wrapper is None:
+        wrapper = jax.jit(fn)
+        _JIT_CACHE[fn] = wrapper
+    return wrapper
+
+
+def _constrain_all(ss_mod):
+    fn = ss_mod.__dict__.get("_constrain_all_fn")
+    if fn is None:
+        fn = jax.jit(jax.vmap(jax.vmap(ss_mod.constrain)))
+        ss_mod.__dict__["_constrain_all_fn"] = fn
+    return fn
+
+
 def make_batched_logp_grad(ss_mod: DSGEStateSpace, data: np.ndarray,
                            **kwargs):
     """Per-chain ``q -> (logpost, grad)`` whose *vmapped* form runs one
@@ -37,6 +60,12 @@ def make_batched_logp_grad(ss_mod: DSGEStateSpace, data: np.ndarray,
     over the whole chain block; called unbatched it degrades to a batch of
     one (still correct, padding one kernel tile)."""
     batched_vag = ss_mod.build_batched_logpost_and_grad(data, **kwargs)
+    # the statespace builder cache returns the same batched_vag for
+    # identical (data, kwargs): reuse the wrapper too, so repeat fits hit
+    # the NUTS sampler program cache (keyed on logp_grad_fn identity)
+    cached = _LOGP_GRAD_CACHE.get(batched_vag)
+    if cached is not None:
+        return cached
 
     @jax.custom_batching.custom_vmap
     def logp_grad(q):
@@ -52,6 +81,7 @@ def make_batched_logp_grad(ss_mod: DSGEStateSpace, data: np.ndarray,
         vals, grads = batched_vag(qs)
         return (vals, grads), (True, True)
 
+    _LOGP_GRAD_CACHE[batched_vag] = logp_grad
     return logp_grad
 
 
@@ -101,8 +131,19 @@ def fit(
     mass_init: str = "auto",
     order: int = 1,
     segment_size: int | None = None,
+    mesh=None,
 ) -> PosteriorResult:
     """Sample the posterior with vmapped device-side NUTS chains.
+
+    ``mesh`` (a ``jax.sharding.Mesh``, e.g. ``parallel.make_mesh()``) shards
+    the chain axis over devices: chain blocks run data-parallel under
+    ``shard_map``, and with ``pooled_adaptation=True`` warmup statistics are
+    pooled across the whole mesh via psum/pmean over the ICI.  This is the
+    user-facing multi-chip estimation entry point (the reference's
+    ``pm.sample(chains=..., cores=...)``, re-designed TPU-native);
+    ``num_chains`` must be divisible by the mesh size.  Unpooled sharded
+    runs match single-device ones to XLA batching round-off.  Composes with
+    ``segment_size`` (bounded device programs with host syncs between).
 
     ``order=2`` samples the posterior of the pruned second-order solution:
     the NUTS target becomes the differentiable unscented-filter log
@@ -167,7 +208,7 @@ def fit(
     if init == "map":
         from .model_comparison import find_map
 
-        u_mode = find_map(jax.jit(logpost), ss_mod.initial_position())
+        u_mode = find_map(_cached_jit(logpost), ss_mod.initial_position())
         _log.info("MAP found: logpost %.2f", float(logpost(u_mode)))
         inits = u_mode[None, :] + 0.05 * jax.random.normal(
             k_init, (num_chains, u_mode.shape[0]), dtype=u_mode.dtype)
@@ -188,9 +229,9 @@ def fit(
         logp_grad_fn=logp_grad_fn,
         mass_init=({"auto": "hessian" if init == "map" else "unit"}
                    .get(mass_init, mass_init)),
-        segment_size=segment_size)
+        segment_size=segment_size, mesh=mesh)
 
-    constrain_all = jax.jit(jax.vmap(jax.vmap(ss_mod.constrain)))
+    constrain_all = _constrain_all(ss_mod)
     constrained = np.asarray(constrain_all(res.samples))
 
     div_rate = float(np.asarray(res.diverging).mean())
@@ -254,7 +295,7 @@ def fit_pmmh(
                       num_samples=num_samples, initial_scale=initial_scale,
                       segment_size=segment_size)
 
-    constrain_all = jax.jit(jax.vmap(jax.vmap(ss_mod.constrain)))
+    constrain_all = _constrain_all(ss_mod)
     constrained = np.asarray(constrain_all(res.samples))
     # logp must be the log JOINT posterior (loglik + logprior), not the bare
     # particle-filter likelihood: downstream consumers such as

@@ -23,7 +23,7 @@ Implementation notes (written from the published algorithms):
 
 from __future__ import annotations
 
-from functools import partial
+from collections import OrderedDict
 from typing import Callable, NamedTuple
 
 import jax
@@ -427,6 +427,8 @@ def _window_schedule(num_warmup: int):
     return in_slow, window_end
 
 
+
+
 # ------------------------------------------------------------------- sampling
 
 class NUTSResult(NamedTuple):
@@ -437,6 +439,40 @@ class NUTSResult(NamedTuple):
     n_leapfrog: jax.Array        # (chains, draws)
     step_size: jax.Array         # (chains,)
     inv_mass: jax.Array          # (chains, dim)
+
+
+# Compiled sampler programs are memoized on configuration identity: a second
+# ``sample_nuts``/``fit`` call with the SAME logpost object and
+# hyper-parameters reuses the jitted executables instead of retracing fresh
+# closures (repeat fits, benchmark second passes, checkpoint restarts).
+# Pair with ``DSGEStateSpace``'s builder cache, which returns the same
+# logpost object for identical (data, kwargs).
+_SAMPLER_CACHE: OrderedDict = OrderedDict()
+_SAMPLER_CACHE_SIZE = 8
+
+
+def _memoized_programs(cache_key, builder):
+    if cache_key is None:            # tracer-driven: never cache across traces
+        return builder()
+    hit = _SAMPLER_CACHE.get(cache_key)
+    if hit is None:
+        hit = builder()
+        _SAMPLER_CACHE[cache_key] = hit
+        while len(_SAMPLER_CACHE) > _SAMPLER_CACHE_SIZE:
+            _SAMPLER_CACHE.popitem(last=False)
+    else:
+        _SAMPLER_CACHE.move_to_end(cache_key)
+    return hit
+
+
+def _maybe_shard(fn, mesh, in_specs, out_specs):
+    """shard_map-wrap ``fn`` over ``mesh`` (identity when mesh is None)."""
+    if mesh is None:
+        return fn
+    from jax.experimental.shard_map import shard_map
+
+    return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                     check_rep=False)
 
 
 def sample_nuts(
@@ -453,8 +489,20 @@ def sample_nuts(
     logp_grad_fn: Callable | None = None,
     mass_init: str = "unit",
     segment_size: int | None = None,
+    mesh=None,
 ) -> NUTSResult:
     """Run vmapped NUTS chains.
+
+    ``mesh`` (a ``jax.sharding.Mesh``) shards the chain axis over devices:
+    chain blocks run data-parallel under ``shard_map``, and with
+    ``pooled=True`` the warmup's Welford/acceptance statistics are pooled
+    across the whole mesh with psum/pmean collectives over the ICI (the
+    reference's multi-process chain parallelism, ``pm.sample(chains=...)`` /
+    reference ``gEconpy/model/statespace.py:833``, re-designed TPU-native).
+    ``num_chains`` must divide the mesh size.  Chain key streams are split
+    per chain on the host either way, so an unpooled sharded run matches
+    the single-device one to XLA batching round-off; a pooled sharded run
+    additionally depends on the psum reduction order.
 
     ``segment_size`` bounds the length of any single device program: the
     warmup and sampling loops execute in segments of at most that many
@@ -462,7 +510,7 @@ def sample_nuts(
     pre-split, so results are identical to the single-program default —
     use it when a runtime caps per-call execution time (e.g. an RPC
     deadline on a remote-device tunnel) or to bound time-to-interrupt on
-    very long runs.
+    very long runs.  Composes with ``mesh``.
 
     ``mass_init="hessian"`` seeds the diagonal mass matrix from the negative
     log-posterior curvature at each chain's initial position (ideal when
@@ -479,22 +527,72 @@ def sample_nuts(
     one mass matrix from the cross-chain Welford estimate — each warmup
     window then carries ``n_chains``x the information, so short warmups
     work with many chains.  ``axis_name`` additionally pools the
-    sufficient statistics across a ``shard_map``/``pmap`` mesh axis
-    (psum/pmean collectives over the ICI).
+    sufficient statistics across an ambient ``shard_map``/``pmap`` mesh
+    axis (set automatically when ``mesh`` is given).
     """
     initial_position = jnp.asarray(initial_position)
     n_chains, dim = initial_position.shape
     dtype = initial_position.dtype
 
-    if segment_size is not None and isinstance(initial_position,
-                                               jax.core.Tracer):
-        # inside jit / shard_map there is no host boundary to segment at;
-        # fall back to the single-program scans
+    is_tracer = isinstance(initial_position, jax.core.Tracer) \
+        or isinstance(key, jax.core.Tracer)
+    if mesh is not None:
+        if is_tracer:
+            raise ValueError("mesh=... requires concrete (host) inputs; "
+                             "inside jit/shard_map pass axis_name instead")
+        if axis_name is None:
+            axis_name = mesh.axis_names[0]
+        if n_chains % mesh.devices.size:
+            raise ValueError(
+                f"num_chains={n_chains} must be divisible by the mesh size "
+                f"{mesh.devices.size}")
+    if is_tracer:
+        # inside jit / shard_map there is no host boundary to segment at
         segment_size = None
 
+    if mass_init not in ("unit", "hessian"):
+        raise ValueError(f"mass_init must be 'unit' or 'hessian', "
+                         f"got {mass_init!r}")
+
     in_slow_np, window_end_np = _window_schedule(num_warmup)
-    in_slow = jnp.asarray(in_slow_np)
-    window_end = jnp.asarray(window_end_np)
+
+    cache_key = None if is_tracer else (
+        logp_fn, logp_grad_fn, pooled, axis_name, mesh, num_warmup,
+        num_samples, max_depth, float(initial_step_size),
+        float(target_accept), mass_init, str(dtype))
+    build = _build_pooled_programs if pooled else _build_unpooled_programs
+    programs = _memoized_programs(cache_key, lambda: build(
+        logp_fn, logp_grad_fn, num_warmup, num_samples, max_depth,
+        float(initial_step_size), target_accept, mass_init, axis_name, mesh,
+        jnp.asarray(in_slow_np), jnp.asarray(window_end_np)))
+
+    chain_keys = jax.random.split(key, n_chains)
+
+    if mass_init == "hessian":
+        if is_tracer:
+            inv_mass0 = jax.vmap(
+                lambda q: _hessian_diag_inv_mass(programs["logp_grad"], q)
+            )(initial_position)
+        else:
+            inv_mass0 = programs["hess_mass"](initial_position)
+    else:
+        inv_mass0 = None
+
+    run = _run_pooled if pooled else _run_unpooled
+    return run(programs, initial_position, chain_keys, inv_mass0,
+               num_warmup, num_samples, initial_step_size, segment_size,
+               is_tracer)
+
+
+# ------------------------------------------------- unpooled (per-chain) chains
+
+def _build_unpooled_programs(logp_fn, logp_grad_fn, num_warmup, num_samples,
+                             max_depth, initial_step_size, target_accept,
+                             mass_init, axis_name, mesh, in_slow, window_end):
+    from jax.sharding import PartitionSpec as P
+
+    ax = None if mesh is None else axis_name
+    prev_anchor = mass_init == "hessian"
 
     def logp_grad(q):
         if logp_grad_fn is not None:
@@ -503,24 +601,6 @@ def sample_nuts(
             val, g = jax.value_and_grad(logp_fn)(q)
         g = jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g))
         return val, g
-
-    if mass_init == "hessian":
-        inv_mass0 = jax.vmap(
-            lambda q: _hessian_diag_inv_mass(logp_grad, q))(initial_position)
-    elif mass_init == "unit":
-        inv_mass0 = None
-    else:
-        raise ValueError(f"mass_init must be 'unit' or 'hessian', "
-                         f"got {mass_init!r}")
-
-    if pooled:
-        pooled_im0 = None if inv_mass0 is None else jnp.mean(inv_mass0, axis=0)
-        return _sample_nuts_pooled(
-            logp_fn, logp_grad, initial_position, key, num_warmup,
-            num_samples, max_depth, initial_step_size, target_accept,
-            in_slow, window_end, axis_name, logp_grad_fn, pooled_im0,
-            prev_anchor=(mass_init == "hessian"),
-            segment_size=segment_size)
 
     def warmup_step(carry, inputs):
         step_idx, key = inputs
@@ -533,16 +613,18 @@ def sample_nuts(
         adapt = _dual_averaging_update(adapt, info["accept_prob"],
                                        target=target_accept)
         adapt = jax.lax.cond(in_slow[step_idx],
-                             lambda a: _welford_update(a, q), lambda a: a, adapt)
+                             lambda a: _welford_update(a, q), lambda a: a,
+                             adapt)
 
         def finalize(a):
-            a = _welford_finalize(a, prev_anchor=(mass_init == "hessian"))
+            a = _welford_finalize(a, prev_anchor=prev_anchor)
             # restart dual averaging around the current step size
             return a._replace(mu=jnp.log(10.0) + a.log_eps,
                               h_bar=jnp.zeros_like(a.h_bar),
                               count=jnp.zeros_like(a.count))
 
-        adapt = jax.lax.cond(window_end[step_idx], finalize, lambda a: a, adapt)
+        adapt = jax.lax.cond(window_end[step_idx], finalize, lambda a: a,
+                             adapt)
         return (q, logp, grad, adapt), None
 
     def sample_step(carry, key):
@@ -555,8 +637,9 @@ def sample_nuts(
         return (q, logp, grad, eps, inv_mass), out
 
     def one_chain(q0, chain_key, im0):
+        dim = q0.shape[0]
         logp0, grad0 = logp_grad(q0)
-        adapt = _adapt_init(initial_step_size, dim, dtype, inv_mass0=im0)
+        adapt = _adapt_init(initial_step_size, dim, q0.dtype, inv_mass0=im0)
         warm_keys = jax.random.split(chain_key, num_warmup + 1)
         carry = (q0, logp0, grad0, adapt)
         (q, logp, grad, adapt), _ = jax.lax.scan(
@@ -569,13 +652,53 @@ def sample_nuts(
             sample_step, carry, sample_keys)
         return qs, logps, accepts, divs, n_leaps, eps_final, adapt.inv_mass
 
-    chain_keys = jax.random.split(key, n_chains)
+    run_all_raw = jax.vmap(one_chain)
+
+    def warm_seg_raw(carry, idxs, keys):
+        def one(c, ks):
+            out, _ = jax.lax.scan(warmup_step, c, (idxs, ks))
+            return out
+        return jax.vmap(one)(carry, keys)
+
+    def sample_seg_raw(carry, keys):
+        return jax.vmap(lambda c, ks: jax.lax.scan(sample_step, c, ks))(
+            carry, keys)
+
+    chain_spec = (P(ax), P(ax), P(ax))
+    out_spec = tuple(P(ax) for _ in range(7))
+    carry4 = (P(ax), P(ax), P(ax), P(ax))
+    carry5 = (P(ax),) * 5
+    return {
+        "logp_grad": logp_grad,
+        "run_all_raw": run_all_raw,
+        "run_all": jax.jit(_maybe_shard(run_all_raw, mesh, chain_spec,
+                                        out_spec)),
+        "init_vag": jax.jit(_maybe_shard(jax.vmap(logp_grad), mesh, P(ax),
+                                         (P(ax), P(ax)))),
+        "warm_seg": jax.jit(_maybe_shard(warm_seg_raw, mesh,
+                                         (carry4, P(None), P(ax)), carry4)),
+        "sample_seg": jax.jit(_maybe_shard(
+            sample_seg_raw, mesh, (carry5, P(ax)),
+            (carry5, (P(ax),) * 5))),
+        "hess_mass": jax.jit(_maybe_shard(
+            jax.vmap(lambda q: _hessian_diag_inv_mass(logp_grad, q)),
+            mesh, P(ax), P(ax))),
+    }
+
+
+def _run_unpooled(programs, initial_position, chain_keys, inv_mass0,
+                  num_warmup, num_samples, initial_step_size, segment_size,
+                  is_tracer):
+    n_chains, dim = initial_position.shape
+    dtype = initial_position.dtype
+
     if inv_mass0 is None:
         inv_mass0 = jnp.ones((n_chains, dim), dtype)
 
     if segment_size is None:
-        qs, logps, accepts, divs, n_leaps, eps_final, inv_mass = \
-            jax.vmap(one_chain)(initial_position, chain_keys, inv_mass0)
+        runner = programs["run_all_raw"] if is_tracer else programs["run_all"]
+        qs, logps, accepts, divs, n_leaps, eps_final, inv_mass = runner(
+            initial_position, chain_keys, inv_mass0)
         return NUTSResult(qs, logps, accepts, divs, n_leaps, eps_final,
                           inv_mass)
 
@@ -583,22 +706,16 @@ def sample_nuts(
     # the scans run in bounded slices with a host sync between them.
     warm_keys = jax.vmap(lambda k: jax.random.split(k, num_warmup + 1))(
         chain_keys)                                   # (chains, W+1, 2)
-    logps0, grads0 = jax.jit(jax.vmap(logp_grad))(initial_position)
+    logps0, grads0 = programs["init_vag"](initial_position)
     adapt = jax.vmap(
         lambda im: _adapt_init(initial_step_size, dim, dtype, inv_mass0=im)
     )(inv_mass0)
 
-    @jax.jit
-    def warm_seg(carry, idxs, keys):
-        def one(c, ks):
-            out, _ = jax.lax.scan(warmup_step, c, (idxs, ks))
-            return out
-        return jax.vmap(one)(carry, keys)
-
     carry = (initial_position, logps0, grads0, adapt)
     for lo in range(0, num_warmup, segment_size):
         hi = min(lo + segment_size, num_warmup)
-        carry = warm_seg(carry, jnp.arange(lo, hi), warm_keys[:, lo:hi])
+        carry = programs["warm_seg"](carry, jnp.arange(lo, hi),
+                                     warm_keys[:, lo:hi])
         jax.block_until_ready(carry)
     q, logp, grad, adapt = carry
 
@@ -607,16 +724,11 @@ def sample_nuts(
     sample_keys = jax.vmap(lambda k: jax.random.split(k, num_samples))(
         warm_keys[:, -1])                             # (chains, S, 2)
 
-    @jax.jit
-    def sample_seg(carry, keys):
-        return jax.vmap(lambda c, ks: jax.lax.scan(sample_step, c, ks))(
-            carry, keys)
-
     carry = (q, logp, grad, eps_final, inv_mass)
     outs = []
     for lo in range(0, num_samples, segment_size):
         hi = min(lo + segment_size, num_samples)
-        carry, out = sample_seg(carry, sample_keys[:, lo:hi])
+        carry, out = programs["sample_seg"](carry, sample_keys[:, lo:hi])
         jax.block_until_ready(out)
         outs.append(out)
     qs, logps, accepts, divs, n_leaps = (
@@ -624,41 +736,50 @@ def sample_nuts(
     return NUTSResult(qs, logps, accepts, divs, n_leaps, eps_final, inv_mass)
 
 
-def _sample_nuts_pooled(logp_fn, logp_grad, initial_position, key,
-                        num_warmup, num_samples, max_depth,
-                        initial_step_size, target_accept, in_slow,
-                        window_end, axis_name, logp_grad_fn=None,
-                        inv_mass0=None, prev_anchor=False,
-                        segment_size=None):
+# -------------------------------------------------- pooled cross-chain warmup
+
+def _build_pooled_programs(logp_fn, logp_grad_fn, num_warmup, num_samples,
+                           max_depth, initial_step_size, target_accept,
+                           mass_init, axis_name, mesh, in_slow, window_end):
     """Cross-chain pooled warmup: shared step size + shared mass matrix.
 
     The step loop is the outer scan and chains run vmapped inside it, so
     every chain sees the same adaptation state each step (and, with
-    ``axis_name``, the same state across all devices on the mesh)."""
-    n_chains, dim = initial_position.shape
-    dtype = initial_position.dtype
+    ``axis_name``/``mesh``, the same state across all devices — psums of
+    the Welford sufficient statistics ride the ICI)."""
+    from jax.sharding import PartitionSpec as P
+
+    ax = axis_name
+    prev_anchor = mass_init == "hessian"
+
+    def logp_grad(q):
+        if logp_grad_fn is not None:
+            val, g = logp_grad_fn(q)
+        else:
+            val, g = jax.value_and_grad(logp_fn)(q)
+        g = jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g))
+        return val, g
 
     def kernel_all(qs, logps, grads, keys, eps, inv_mass):
         return jax.vmap(lambda q, l, g, k: nuts_kernel(
             logp_fn, q, l, g, k, eps, inv_mass, max_depth,
-            axis_name=axis_name, logp_grad_fn=logp_grad_fn))(
+            axis_name=ax, logp_grad_fn=logp_grad_fn))(
             qs, logps, grads, keys)
 
     def warmup_step(carry, inputs):
-        step_idx, key = inputs
+        step_idx, keys = inputs                     # keys: (chains, 2)
         qs, logps, grads, adapt = carry
-        keys = jax.random.split(key, n_chains)
         eps = jnp.exp(adapt.log_eps)
         qs, logps, grads, info = kernel_all(qs, logps, grads, keys, eps,
                                             adapt.inv_mass)
         acc = jnp.mean(info["accept_prob"])
-        if axis_name is not None:
-            acc = jax.lax.pmean(acc, axis_name)
+        if ax is not None:
+            acc = jax.lax.pmean(acc, ax)
         adapt = _dual_averaging_update(adapt, acc, target=target_accept)
         # masked selects instead of lax.cond: under shard_map the psum
         # branch and the identity branch carry different device-variance
         # types, which cond rejects
-        upd = _welford_update_batch(adapt, qs, axis_name)
+        upd = _welford_update_batch(adapt, qs, ax)
         adapt = jax.tree.map(
             lambda a, b: jnp.where(in_slow[step_idx], b, a), adapt, upd)
 
@@ -670,48 +791,93 @@ def _sample_nuts_pooled(logp_fn, logp_grad, initial_position, key,
             lambda a, b: jnp.where(window_end[step_idx], b, a), adapt, fin)
         return (qs, logps, grads, adapt), None
 
-    def sample_step(carry, key):
+    def sample_step(carry, keys):                   # keys: (chains, 2)
         qs, logps, grads, eps, inv_mass = carry
-        keys = jax.random.split(key, n_chains)
         qs, logps, grads, info = kernel_all(qs, logps, grads, keys, eps,
                                             inv_mass)
         out = (qs, logps, info["accept_prob"], info["diverging"],
                info["n_leapfrog"])
         return (qs, logps, grads, eps, inv_mass), out
 
-    logps0, grads0 = jax.jit(jax.vmap(logp_grad))(initial_position)
+    def warm_seg_raw(carry, idxs, keys):            # keys: (k, chains, 2)
+        out, _ = jax.lax.scan(warmup_step, carry, (idxs, keys))
+        return out
+
+    def sample_seg_raw(carry, keys):                # keys: (k, chains, 2)
+        return jax.lax.scan(sample_step, carry, keys)
+
+    carry_spec = (P(ax), P(ax), P(ax), P())         # adapt state replicated
+    scarry_spec = (P(ax), P(ax), P(ax), P(), P())
+    keys_spec = P(None, ax)
+    return {
+        "logp_grad": logp_grad,
+        "warm_seg_raw": warm_seg_raw,
+        "sample_seg_raw": sample_seg_raw,
+        "init_vag": jax.jit(_maybe_shard(jax.vmap(logp_grad), mesh, P(ax),
+                                         (P(ax), P(ax)))),
+        "warm_seg": jax.jit(_maybe_shard(
+            warm_seg_raw, mesh, (carry_spec, P(None), keys_spec),
+            carry_spec)),
+        "sample_seg": jax.jit(_maybe_shard(
+            sample_seg_raw, mesh, (scarry_spec, keys_spec),
+            (scarry_spec, (keys_spec,) * 5))),
+        "hess_mass": jax.jit(_maybe_shard(
+            jax.vmap(lambda q: _hessian_diag_inv_mass(logp_grad, q)),
+            mesh, P(ax), P(ax))),
+    }
+
+
+def _run_pooled(programs, initial_position, chain_keys, inv_mass0,
+                num_warmup, num_samples, initial_step_size, segment_size,
+                is_tracer):
+    n_chains, dim = initial_position.shape
+    dtype = initial_position.dtype
+
+    if inv_mass0 is not None and inv_mass0.ndim == 2:
+        inv_mass0 = jnp.mean(inv_mass0, axis=0)
+
+    # per-chain key streams (device-count invariant: chain i's stream only
+    # depends on chain_keys[i], however the chain axis is sharded)
+    total = num_warmup + num_samples
+    per_chain = jax.vmap(lambda ck: jax.random.split(ck, total))(chain_keys)
+    warm_keys = jnp.swapaxes(per_chain[:, :num_warmup], 0, 1)    # (W, C, 2)
+    samp_keys = jnp.swapaxes(per_chain[:, num_warmup:], 0, 1)    # (S, C, 2)
+
+    if is_tracer:
+        logps0, grads0 = jax.vmap(programs["logp_grad"])(initial_position)
+    else:
+        logps0, grads0 = programs["init_vag"](initial_position)
     adapt = _adapt_init(initial_step_size, dim, dtype, inv_mass0=inv_mass0)
-    warm_keys = jax.random.split(key, num_warmup + 1)
+
     carry = (initial_position, logps0, grads0, adapt)
-    if segment_size is None:
-        (qs, logps, grads, adapt), _ = jax.lax.scan(
-            warmup_step, carry,
-            (jnp.arange(num_warmup), warm_keys[:num_warmup]))
+    if is_tracer:
+        carry = programs["warm_seg_raw"](carry, jnp.arange(num_warmup),
+                                         warm_keys)
     else:
-        warm_seg = jax.jit(lambda c, idxs, ks: jax.lax.scan(
-            warmup_step, c, (idxs, ks))[0])
-        for lo in range(0, num_warmup, segment_size):
-            hi = min(lo + segment_size, num_warmup)
-            carry = warm_seg(carry, jnp.arange(lo, hi), warm_keys[lo:hi])
+        step = segment_size or max(num_warmup, 1)
+        for lo in range(0, num_warmup, step):
+            hi = min(lo + step, num_warmup)
+            carry = programs["warm_seg"](carry, jnp.arange(lo, hi),
+                                         warm_keys[lo:hi])
             jax.block_until_ready(carry)
-        qs, logps, grads, adapt = carry
+    qs, logps, grads, adapt = carry
+
     eps_final = jnp.exp(adapt.log_eps_bar)
-    sample_keys = jax.random.split(warm_keys[-1], num_samples)
     carry = (qs, logps, grads, eps_final, adapt.inv_mass)
-    if segment_size is None:
-        _, (qs_all, logps_all, accepts, divs, n_leaps) = jax.lax.scan(
-            sample_step, carry, sample_keys)
+    if is_tracer:
+        _, (qs_all, logps_all, accepts, divs, n_leaps) = \
+            programs["sample_seg_raw"](carry, samp_keys)
     else:
-        sample_seg = jax.jit(
-            lambda c, ks: jax.lax.scan(sample_step, c, ks))
+        step = segment_size or max(num_samples, 1)
         outs = []
-        for lo in range(0, num_samples, segment_size):
-            hi = min(lo + segment_size, num_samples)
-            carry, out = sample_seg(carry, sample_keys[lo:hi])
+        for lo in range(0, num_samples, step):
+            hi = min(lo + step, num_samples)
+            carry, out = programs["sample_seg"](carry, samp_keys[lo:hi])
             jax.block_until_ready(out)
             outs.append(out)
         qs_all, logps_all, accepts, divs, n_leaps = (
             jnp.concatenate(parts, axis=0) for parts in zip(*outs))
+
     # scan stacked on the draw axis: (draws, chains, ...) -> (chains, draws)
     samples = jnp.swapaxes(qs_all, 0, 1)
     return NUTSResult(

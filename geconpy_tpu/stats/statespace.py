@@ -18,6 +18,8 @@ the NUTS layer and shard_mapped over devices by the parallel layer.
 
 from __future__ import annotations
 
+import functools
+import hashlib
 import logging
 from dataclasses import dataclass, field
 from typing import Callable, NamedTuple
@@ -38,6 +40,32 @@ _log = logging.getLogger(__name__)
 
 __all__ = ["DSGEStateSpace", "EstimatedParameter", "LogPostExtras",
            "statespace_from_gcn", "data_from_prior"]
+
+
+def _cached_builder(method):
+    """Memoize a ``build_*(data, **kwargs)`` method on (data, kwargs).
+
+    Returning the SAME function object for identical inputs is what lets
+    downstream jit caches hit on repeat calls: ``fit`` twice with the same
+    model + data reuses every compiled XLA executable (the NUTS sampler
+    programs key on logpost identity — see ``stats/nuts.py`` sampler cache).
+    The cache is cleared by :meth:`DSGEStateSpace.configure`.
+    """
+    @functools.wraps(method)
+    def wrapper(self, data, **kwargs):
+        arr = np.asarray(data)
+        try:
+            cache_kwargs = tuple(sorted(kwargs.items()))
+            hash(cache_kwargs)
+        except TypeError:           # unhashable kwarg: skip caching
+            return method(self, data, **kwargs)
+        key = (method.__name__, arr.shape, arr.dtype.str,
+               hashlib.sha1(arr.tobytes()).hexdigest(), cache_kwargs)
+        cache = self.__dict__.setdefault("_builder_cache", {})
+        if key not in cache:
+            cache[key] = method(self, data, **kwargs)
+        return cache[key]
+    return wrapper
 
 
 @dataclass(frozen=True)
@@ -282,6 +310,7 @@ class DSGEStateSpace:
             self._filter_core = np.arange(mf.n_variables)
 
         k = len(self.observed_states)
+        self.__dict__.pop("_builder_cache", None)   # built fns are now stale
         self._configured = True
         _log.info("configured: %d observables, %d estimated parameters "
                   "(%d model + %d meas. error)", k, len(self.estimated),
@@ -443,6 +472,7 @@ class DSGEStateSpace:
         return u
 
     # ------------------------------------------------------------------ logp
+    @_cached_builder
     def build_logpost(self, data: np.ndarray) -> Callable[[jnp.ndarray], jax.Array]:
         """data (periods, k_obs), NaN = missing -> logpost(u) function."""
         extras_fn = self.build_logpost_extras(data)
@@ -724,6 +754,7 @@ class DSGEStateSpace:
                 return kalman_filter(*args, **kw).loglik
         return y, _loglik
 
+    @_cached_builder
     def build_logpost_extras(self, data: np.ndarray
                              ) -> Callable[[jnp.ndarray], LogPostExtras]:
         y, _loglik = self._data_and_loglik(data)
@@ -780,6 +811,7 @@ class DSGEStateSpace:
         return build_second_order_solution_fn(self)
 
     # ----------------------------------------------------- batched sweeps
+    @_cached_builder
     def build_batched_loglik(self, data: np.ndarray, n_settle: int = 32,
                              pallas_tile: int = 512,
                              policy: str = "xla",
@@ -884,6 +916,7 @@ class DSGEStateSpace:
 
         return batched
 
+    @_cached_builder
     def build_batched_logpost(self, data: np.ndarray,
                               cr_tile: int = 128, cr_iters: int = 18,
                               interpret: bool = False,
@@ -976,6 +1009,7 @@ class DSGEStateSpace:
 
         return batched
 
+    @_cached_builder
     def build_batched_logpost_and_grad(self, data: np.ndarray, **kwargs):
         """``f(U) -> (logpost (B,), grad (B, dim))`` — one Pallas forward +
         one analytic-adjoint backward over the whole batch.  Non-finite

@@ -120,9 +120,9 @@ def test_pooled_adaptation_gaussian():
     def logp(q):
         return -0.5 * q @ prec @ q
 
-    q0 = jax.random.normal(jax.random.PRNGKey(0), (8, 2))
+    q0 = jax.random.normal(jax.random.PRNGKey(0), (16, 2))
     res = jax.jit(lambda: sample_nuts(
-        logp, q0, jax.random.PRNGKey(1), num_warmup=300, num_samples=500,
+        logp, q0, jax.random.PRNGKey(1), num_warmup=300, num_samples=800,
         pooled=True))()
     s = np.asarray(res.samples).reshape(-1, 2)
     np.testing.assert_allclose(s.mean(0), [0.0, 0.0], atol=0.3)
