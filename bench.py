@@ -1,107 +1,271 @@
 """Headline benchmark: DSGE solve + Kalman log-likelihood throughput.
 
-Measures evaluations/second/chip of the full estimation hot path — steady
-state -> jacfwd linearization -> cycle-reduction policy solve -> Lyapunov P0
--> 200-period Kalman filter log-likelihood — vmapped over a batch of
-parameter draws (the shape of the NUTS/prior-sweep workload).
+Measures, on the real TPU (float32):
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "evals/s", "vs_baseline": N}
+1. ``value`` — evaluations/second/chip of the full estimation forward hot
+   path: steady state -> jacfwd linearization -> cycle-reduction policy
+   solve -> Lyapunov P0 -> 200-period Kalman filter log-likelihood, vmapped
+   over 4096 parameter draws (the prior-sweep workload, BASELINE config 4).
+2. ``value_grad_us_per_draw`` — microseconds per draw of the batched
+   VALUE+GRADIENT at batch 512 (the NUTS leapfrog cost: Pallas forward +
+   analytic-adjoint backward, ``filter_type="stationary"``).
+3. ``ess_per_hr`` — NUTS minimum effective-sample-size per hour per chip on
+   the identified SW-2007 exogenous block (128 pooled chains).  The timed
+   pass reuses the compiled programs from a warmup pass (the statespace
+   builder + sampler caches), so compile time is excluded.
+
+Prints ONE JSON line per completed stage — each line is a superset of the
+previous, so the LAST parseable line is always the most complete result and
+an early kill still leaves the headline metric on stdout.  A dead axon
+tunnel produces a parseable ``{"skipped": ...}`` line and exit code 0,
+never a traceback.
+
+``--profile [dir]`` additionally dumps a jax.profiler trace of the headline
+timing loop (default ``/tmp/geconpy_tpu_trace``; view with Perfetto /
+TensorBoard).  ``BENCH_BUDGET_S`` (default 3300) soft-bounds total wall
+time: stages that would start past the budget are skipped.
 
 vs_baseline is measured against the driver's north-star target of
 100 microseconds per draw per chip (BASELINE.md): vs_baseline > 1 beats it.
 """
 
+import contextlib
 import json
+import os
+import signal
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+_T0 = time.time()
+_BUDGET = float(os.environ.get("BENCH_BUDGET_S", "3300"))
+_RESULT = {
+    "metric": "sw2007_solve_kalman200_loglik_evals_per_sec_per_chip",
+    "value": None,
+    "unit": "evals/s",
+    "vs_baseline": None,
+}
 
 
-def _measure(model_name: str, configure_kwargs: dict, batch_size: int = 4096,
-             periods: int = 200, n_reps: int = 20) -> float:
+def _emit():
+    print(json.dumps(_RESULT), flush=True)
+
+
+def _remaining():
+    return _BUDGET - (time.time() - _T0)
+
+
+class _Deadline(Exception):
+    pass
+
+
+@contextlib.contextmanager
+def _alarm(seconds: int):
+    def handler(signum, frame):
+        raise _Deadline(f"stage exceeded {seconds}s")
+
+    old = signal.signal(signal.SIGALRM, handler)
+    signal.alarm(max(1, int(seconds)))
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
+def _probe_tunnel():
+    """Tiny matmul through the backend; raises on a dead tunnel."""
+    import jax
+    import jax.numpy as jnp
+
+    with _alarm(240):
+        x = jnp.ones((128, 128), jnp.float32)
+        jax.block_until_ready(x @ x)
+        return jax.devices()[0].platform
+
+
+SW_OBS = ["y", "c", "inve", "w", "pinf", "r", "lab"]
+SW_ESTIMATED_FULL = [
+    "crhoa", "crhob", "crhog", "crhoqs", "crhoms", "crhopinf", "crhow",
+    "cmap", "cmaw", "cgy", "sigma_ea", "sigma_eb", "sigma_eg", "sigma_eqs",
+    "sigma_em", "sigma_epinf", "sigma_ew", "crpi", "crr", "cry", "chabb",
+    "csigma"]
+# identified exogenous block: AR coefficients + shock scales (a target that
+# CONVERGES in a short warmup; see benchmarks/bench_ess.py)
+SW_ESTIMATED_EXOG = [
+    "crhoa", "crhob", "crhog", "crhoqs", "crhoms", "crhopinf", "crhow",
+    "sigma_ea", "sigma_eb", "sigma_eg", "sigma_eqs", "sigma_em",
+    "sigma_epinf", "sigma_ew"]
+
+
+def _configured_ss(estimated, **configure_kwargs):
     import geconpy_tpu
     from geconpy_tpu.stats.statespace import DSGEStateSpace
 
     model = geconpy_tpu.model_from_gcn(
-        geconpy_tpu.get_example_gcn(model_name), verbose=False)
+        geconpy_tpu.get_example_gcn("sw2007"), verbose=False)
+    constant = [p for p in model.param_names if p not in estimated]
     ss = DSGEStateSpace(model)
-    ss.configure(**configure_kwargs)
+    ss.configure(observed_states=SW_OBS, constant_params=constant,
+                 **configure_kwargs)
+    return ss
 
-    # simulated dataset (host-side, not timed)
+
+def _stage_forward(profile_dir=None):
+    """Headline: batched forward sweep throughput, cross-checked against the
+    independent gradient-capable logpost path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    batch_size, periods, n_reps = 4096, 200, 20
+    ss = _configured_ss(SW_ESTIMATED_FULL, filter_type="steady_state",
+                        kalman_settle=32)
     data, draw = ss.data_from_prior(jax.random.PRNGKey(0), periods=periods)
-
     u0 = ss.unconstrain(draw).astype(jnp.float32)
-    key = jax.random.PRNGKey(1)
     batch = u0[None, :] + 0.05 * jax.random.normal(
-        key, (batch_size, u0.shape[0]), dtype=jnp.float32)
+        jax.random.PRNGKey(1), (batch_size, u0.shape[0]), dtype=jnp.float32)
+    data32 = np.asarray(data, dtype=np.float32)
 
     # batched sweep path: vmapped steady-state/linearize + lane-batched
     # Pallas cycle reduction + Pallas Riccati settle + fused Pallas
     # constant-gain filter tail
     fn = jax.jit(ss.build_batched_loglik(
-        np.asarray(data, dtype=np.float32),
-        n_settle=ss.kalman_settle, policy="pallas", settle="pallas"))
+        data32, n_settle=ss.kalman_settle, policy="pallas", settle="pallas"))
     out = jax.block_until_ready(fn(batch))  # compile + sanity
     n_finite = int(jnp.sum(jnp.isfinite(out)))
-    finite_frac = n_finite / batch_size
-    assert finite_frac >= 0.99, \
-        f"{model_name}: only {n_finite}/{batch_size} finite logposts"
+    assert n_finite / batch_size >= 0.99, \
+        f"only {n_finite}/{batch_size} finite logposts"
 
-    # cross-check against the reference (gradient-capable) logpost path —
-    # same solve + filter through independent XLA kernels — per-draw, over
-    # >= 512 draws, at a relative tolerance defensible for a float32
-    # 200-period log-likelihood
-    n_check = min(512, batch_size)
-    logpost = ss.build_logpost(np.asarray(data, dtype=np.float32))
+    # cross-check against the gradient-capable logpost path — same solve +
+    # filter through independent XLA kernels — at a relative tolerance
+    # defensible for a float32 200-period log-likelihood
+    n_check = 512
+    logpost = ss.build_logpost(data32)
     ref = np.asarray(jax.jit(jax.vmap(logpost))(batch[:n_check]))
     got = np.asarray(out[:n_check])
     both = np.isfinite(ref) & np.isfinite(got)
-    assert both.mean() >= 0.99, \
-        f"{model_name}: paths disagree on finiteness ({both.mean():.3f})"
+    assert both.mean() >= 0.99, f"finiteness mismatch ({both.mean():.3f})"
     rel = np.max(np.abs(got - ref)[both] / (1.0 + np.abs(ref[both])))
-    assert rel < 5e-4, \
-        f"{model_name}: batched path off by rel {rel:.2e} on {both.sum()} draws"
+    assert rel < 5e-4, f"batched path off by rel {rel:.2e}"
 
+    ctx = contextlib.nullcontext()
+    if profile_dir is not None:
+        ctx = jax.profiler.trace(profile_dir)
+    with ctx:
+        start = time.perf_counter()
+        for _ in range(n_reps):
+            out = fn(batch)
+        jax.block_until_ready(out)
+        elapsed = time.perf_counter() - start
+    evals_per_sec = n_reps * batch_size / elapsed
+    _RESULT["value"] = round(evals_per_sec, 1)
+    _RESULT["vs_baseline"] = round(evals_per_sec * 100.0 / 1e6, 3)
+
+
+def _stage_value_grad():
+    """NUTS leapfrog cost: batched value+grad, stationary filter, batch 512."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    batch_size = 512
+    ss = _configured_ss(SW_ESTIMATED_FULL, filter_type="stationary",
+                        kalman_settle=32)
+    data, draw = ss.data_from_prior(jax.random.PRNGKey(0), periods=200)
+    u0 = ss.unconstrain(draw).astype(jnp.float32)
+    batch = u0[None, :] + 0.05 * jax.random.normal(
+        jax.random.PRNGKey(1), (batch_size, u0.shape[0]), dtype=jnp.float32)
+    data32 = np.asarray(data, dtype=np.float32)
+
+    vag = jax.jit(ss.build_batched_logpost_and_grad(data32))
+    vals, grads = jax.block_until_ready(vag(batch))
+    finite = int(jnp.sum(jnp.isfinite(vals)))
+    assert finite / batch_size >= 0.99, f"{finite}/{batch_size} finite"
+
+    n_reps = 10
     start = time.perf_counter()
     for _ in range(n_reps):
-        out = fn(batch)
-    jax.block_until_ready(out)
-    elapsed = time.perf_counter() - start
-    return n_reps * batch_size / elapsed
+        vals, grads = vag(batch)
+    jax.block_until_ready((vals, grads))
+    dt = time.perf_counter() - start
+    _RESULT["value_grad_us_per_draw"] = round(
+        dt / (n_reps * batch_size) * 1e6, 2)
+
+
+def _stage_ess():
+    """NUTS ESS/hr: warm pass compiles, timed pass reuses every program via
+    the builder + sampler caches (compile time excluded by construction)."""
+    import geconpy_tpu
+    import jax
+    import numpy as np
+
+    num_chains, num_warmup, num_samples = 128, 200, 150
+    ss = _configured_ss(SW_ESTIMATED_EXOG, filter_type="stationary",
+                        kalman_settle=32)
+    data, _ = ss.data_from_prior(jax.random.PRNGKey(0), periods=200,
+                                 params={"crhopinf": 0.8, "crhow": 0.85})
+    data32 = np.asarray(data, dtype=np.float32)
+
+    def run(seed):
+        return geconpy_tpu.fit(
+            ss, data32, num_chains=num_chains, num_warmup=num_warmup,
+            num_samples=num_samples, seed=seed, policy="pallas",
+            pooled_adaptation=True, max_depth=8, init="map",
+            target_accept=0.9,
+            segment_size=25)  # bounded device programs through the tunnel
+
+    t0 = time.perf_counter()
+    run(1)                       # compile pass (fills every program cache)
+    compile_and_first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    result = run(0)              # identical config: pure sampling time
+    wall_s = time.perf_counter() - t0
+
+    summ = result.summary()
+    ess = summ["ess"].to_numpy()
+    _RESULT["ess_per_hr"] = round(float(np.min(ess) * 3600.0 / wall_s), 1)
+    _RESULT["ess_detail"] = {
+        "chains": num_chains,
+        "draws": f"{num_warmup}+{num_samples}",
+        "params": len(SW_ESTIMATED_EXOG),
+        "sampling_wall_s": round(wall_s, 1),
+        "compile_and_first_run_s": round(compile_and_first, 1),
+        "total_ess_per_hr": round(float(np.sum(ess) * 3600.0 / wall_s), 1),
+        "max_r_hat": round(float(np.max(summ["r_hat"].to_numpy())), 3),
+        "diverging_frac": round(float(np.mean(result.diverging)), 4),
+    }
 
 
 def main():
-    # headline: Smets-Wouters 2007 (33 variables, 7 shocks, 7 observables):
-    # full per-draw pipeline — steady state -> jacfwd linearization -> cycle
-    # reduction policy solve -> Lyapunov P0 -> 200-period Kalman
-    # log-likelihood (constant-gain fast path after settling, the standard
-    # DSGE-estimation filter).  This is BASELINE.json config 4.
-    estimated = ["crhoa", "crhob", "crhog", "crhoqs", "crhoms", "crhopinf",
-                 "crhow", "cmap", "cmaw", "cgy", "sigma_ea", "sigma_eb",
-                 "sigma_eg", "sigma_eqs", "sigma_em", "sigma_epinf",
-                 "sigma_ew", "crpi", "crr", "cry", "chabb", "csigma"]
-    import geconpy_tpu
+    profile_dir = None
+    if "--profile" in sys.argv:
+        i = sys.argv.index("--profile")
+        profile_dir = (sys.argv[i + 1] if len(sys.argv) > i + 1
+                       else "/tmp/geconpy_tpu_trace")
 
-    model = geconpy_tpu.model_from_gcn(
-        geconpy_tpu.get_example_gcn("sw2007"), verbose=False)
-    constant = [p for p in model.param_names if p not in estimated]
-    evals_per_sec = _measure(
-        "sw2007",
-        dict(observed_states=["y", "c", "inve", "w", "pinf", "r", "lab"],
-             filter_type="steady_state", kalman_settle=32,
-             constant_params=constant),
-    )
-    us_per_draw = 1e6 / evals_per_sec
-    target_us = 100.0
-    print(json.dumps({
-        "metric": "sw2007_solve_kalman200_loglik_evals_per_sec_per_chip",
-        "value": round(evals_per_sec, 1),
-        "unit": "evals/s",
-        "vs_baseline": round(target_us / us_per_draw, 3),
-    }))
+    try:
+        platform = _probe_tunnel()
+    except BaseException as e:  # noqa: BLE001 — any backend failure = skip
+        _RESULT["skipped"] = f"tunnel down: {type(e).__name__}: {e}"
+        _emit()
+        return
+    _RESULT["platform"] = platform
+
+    stages = [("forward", lambda: _stage_forward(profile_dir), 1500),
+              ("value_grad", _stage_value_grad, 1200),
+              ("ess", _stage_ess, 2400)]
+    for name, stage, limit in stages:
+        if _remaining() < 60:
+            _RESULT.setdefault("notes", []).append(
+                f"{name}: skipped (budget exhausted)")
+            break
+        try:
+            with _alarm(min(limit, max(60, _remaining()))):
+                stage()
+        except BaseException as e:  # noqa: BLE001 — keep earlier results
+            _RESULT.setdefault("notes", []).append(
+                f"{name}: {type(e).__name__}: {e}")
+        _emit()
 
 
 if __name__ == "__main__":

@@ -54,7 +54,11 @@ def main(num_chains: int = 256, num_warmup: int = 300,
             # kills the worker on very long single XLA executions
 
     t0 = time.perf_counter()
-    run(1)                       # compile pass (fills the jit cache)
+    # compile pass: the statespace builder cache + NUTS sampler-program
+    # cache make the second run() reuse every compiled executable (same
+    # logpost object + identical sampler config), so wall_s below is pure
+    # sampling time — no retrace, no recompile.
+    run(1)
     compile_and_first = time.perf_counter() - t0
     t0 = time.perf_counter()
     result = run(0)              # identical shapes: pure sampling time

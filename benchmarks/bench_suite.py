@@ -9,8 +9,16 @@ standalone (``python benchmarks/bench_suite.py``) printing a table, and each
 
 Device cases compile once in ``setup`` so steady-state timings measure the
 execution hot path, as in estimation.
+
+``--profile [dir]`` wraps every timed case in a ``jax.profiler`` trace
+(default ``/tmp/geconpy_tpu_trace``); open the dump with Perfetto
+(ui.perfetto.dev) or TensorBoard's profile plugin to see per-op device
+timelines — the SURVEY §5 asv-analog trace hook.  One-liner:
+
+    python benchmarks/bench_suite.py --profile /tmp/trace
 """
 
+import sys
 import time
 
 import jax
@@ -218,7 +226,22 @@ class TimePerfectForesight:
 
 
 def main():
+    import contextlib
+
+    profile_ctx = contextlib.nullcontext()
+    if "--profile" in sys.argv:
+        i = sys.argv.index("--profile")
+        trace_dir = (sys.argv[i + 1] if len(sys.argv) > i + 1
+                     else "/tmp/geconpy_tpu_trace")
+        profile_ctx = jax.profiler.trace(trace_dir)
+        print(f"profiling to {trace_dir}")
+
     rows = []
+    with profile_ctx:
+        return _run_cases(rows)
+
+
+def _run_cases(rows):
     for cls in [TimeParse, TimeBuild, TimeSteadyState, TimeSolve, TimeLoglik,
                 TimeSecondOrder, TimeUKFLoglik, TimePerfectForesight]:
         params = cls.params

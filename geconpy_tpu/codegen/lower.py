@@ -71,6 +71,7 @@ class CompiledFunction:
     output_shape: tuple[int, ...]
 
     def __call__(self, *args):
+        """Evaluate the compiled function (jittable; args follow ``argspec``)."""
         return self.fn(*args)
 
 

@@ -59,10 +59,12 @@ class ModelFunctions:
 
     @property
     def n_variables(self) -> int:
+        """Number of model variables."""
         return len(self.variables)
 
     @property
     def n_shocks(self) -> int:
+        """Number of exogenous shocks."""
         return len(self.shocks)
 
     @property
@@ -73,31 +75,38 @@ class ModelFunctions:
 
     @property
     def param_symbols(self) -> list[sp.Symbol]:
+        """theta_full symbol order: free, deterministic, calibrated."""
         return list(self.free_params) + list(self.deterministic_params) \
             + list(self.calibrated_params)
 
     @property
     def param_names(self) -> list[str]:
+        """Names matching :attr:`param_symbols`."""
         return [p.name for p in self.param_symbols]
 
     @property
     def variable_names(self) -> list[str]:
+        """Base variable names in system order."""
         return [v.base_name for v in self.variables]
 
     @property
     def shock_names(self) -> list[str]:
+        """Base shock names in system order."""
         return [s.base_name for s in self.shocks]
 
     @property
     def has_full_analytic_ss(self) -> bool:
+        """True when the GCN steady-state block pins every variable (no Newton)."""
         return len(self.unknown_idx) == 0
 
     @property
     def n_unknowns(self) -> int:
+        """Numeric steady-state unknowns (variables + calibrated params)."""
         return len(self.unknown_idx) + len(self.calibrated_params)
 
 
 def build_model_functions(primitives: ModelPrimitives) -> ModelFunctions:
+    """Lower ModelPrimitives to the jittable per-model function bundle (params, steady state, residuals, jacobians, bijector)."""
     variables = list(primitives.variables)
     shocks = list(primitives.shocks)
     n = len(variables)

@@ -40,9 +40,11 @@ class Distribution:
     name: ClassVar[str] = "Distribution"
 
     def logpdf(self, x):
+        """Log density at ``x`` (jittable; -inf outside the support)."""
         raise NotImplementedError
 
     def sample(self, key, shape=()):
+        """Draw ``shape``-shaped samples with a jax PRNG ``key``."""
         raise NotImplementedError
 
     def ppf(self, q):
@@ -50,16 +52,20 @@ class Distribution:
         raise NotImplementedError
 
     def mean(self):
+        """Distribution mean (host-side float)."""
         raise NotImplementedError
 
     def std(self):
+        """Standard deviation (host-side float)."""
         return float(np.sqrt(self.variance()))
 
     def variance(self):
+        """Variance (host-side float)."""
         raise NotImplementedError
 
     # ---- support / transforms ------------------------------------------------
     def support(self) -> tuple[float, float]:
+        """(lower, upper) support bounds, +-inf when unbounded."""
         lo = self.lower if self.lower is not None else -np.inf
         hi = self.upper if self.upper is not None else np.inf
         return (lo, hi)
@@ -181,6 +187,7 @@ class Beta(Distribution):
 
     @classmethod
     def from_moments(cls, mu: float, sigma: float) -> "Beta":
+        """Beta with the given mean and standard deviation (moment matching)."""
         nu = mu * (1 - mu) / sigma**2 - 1
         return cls(alpha=mu * nu, beta=(1 - mu) * nu)
 
@@ -233,6 +240,8 @@ class PartialCorrelation(Distribution):
     @classmethod
     def lkj_marginal(cls, eta: float, dim: int, order: int
                      ) -> "PartialCorrelation":
+        """Marginal of the ``order``-th canonical partial correlation under
+        LKJ(eta) in dimension ``dim`` (vine decomposition)."""
         return cls(alpha=eta + (dim - 2 - order) / 2.0)
 
     def logpdf(self, x):
@@ -270,6 +279,7 @@ class Gamma(Distribution):
 
     @classmethod
     def from_moments(cls, mu: float, sigma: float) -> "Gamma":
+        """Gamma with the given mean and standard deviation."""
         return cls(alpha=(mu / sigma) ** 2, beta=mu / sigma**2)
 
     def logpdf(self, x):
@@ -302,6 +312,7 @@ class InverseGamma(Distribution):
 
     @classmethod
     def from_moments(cls, mu: float, sigma: float) -> "InverseGamma":
+        """InverseGamma with the given mean and standard deviation."""
         alpha = mu**2 / sigma**2 + 2
         return cls(alpha=alpha, beta=mu * (alpha - 1))
 
@@ -620,6 +631,7 @@ DIST_REGISTRY: dict[str, type] = {
 
 
 def get_distribution_class(name: str):
+    """Distribution class by GCN name (did-you-mean KeyError on typos)."""
     cls = DIST_REGISTRY.get(name.lower())
     if cls is None:
         raise KeyError(name)

@@ -68,6 +68,7 @@ class CompositeDistribution:
         return None
 
     def concretize(self, param_values: dict) -> Distribution:
+        """Resolve the hyper-parameter link into a concrete distribution."""
         kwargs = dict(self.fixed_kwargs)
         for kw, pname in self.param_kwargs.items():
             kwargs[kw] = float(param_values[pname])

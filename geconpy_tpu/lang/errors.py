@@ -35,6 +35,7 @@ class ParseLocation:
     filename: str | None = None
 
     def caret_line(self) -> str:
+        """Spaces + carets underlining this location's source span."""
         end = self.end_column if self.end_column is not None else self.column + 1
         width = max(1, end - self.column)
         return " " * self.column + "^" * width
@@ -153,6 +154,8 @@ def suggest(name: str, candidates, n: int = 3) -> list[str]:
 
 def format_error(code: str, message: str, loc: ParseLocation | None,
                  suggestions: list[str] | None = None, color: bool = False) -> str:
+    """rustc-style error rendering: code + title, caret-annotated source
+    line, did-you-mean suggestions, and the catalog fix hint."""
     info = ERROR_CATALOG.get(code)
     title = info.title if info else "error"
     red, bold, reset = ("\x1b[31m", "\x1b[1m", "\x1b[0m") if color else ("", "", "")
@@ -210,17 +213,21 @@ class ErrorCollector:
     errors: list[GCNError] = field(default_factory=list)
 
     def add(self, error: GCNError) -> None:
+        """Record a diagnostic."""
         self.errors.append(error)
 
     def semantic(self, code: str, message: str, loc: ParseLocation | None = None,
                  suggestions: list[str] | None = None) -> None:
+        """Record a coded semantic error at ``loc``."""
         self.add(GCNSemanticError(code, message, loc, suggestions))
 
     @property
     def has_errors(self) -> bool:
+        """True when any diagnostic has been recorded."""
         return bool(self.errors)
 
     def raise_if_errors(self) -> None:
+        """Raise the single error, or a GCNErrorCollection of all of them."""
         if len(self.errors) == 1:
             raise self.errors[0]
         if self.errors:

@@ -72,6 +72,7 @@ class Token:
 
 
 def tokenize(source: str, filename: str | None = None) -> list[Token]:
+    """GCN source -> token list (raises GCNParseError with caret context)."""
     tokens: list[Token] = []
     lines = source.splitlines()
     i = 0

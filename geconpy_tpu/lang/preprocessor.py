@@ -31,6 +31,7 @@ class ParseResult:
     _validated: bool = field(default=False, repr=False)
 
     def validate(self) -> "ParseResult":
+        """Run full semantic validation once (raises GCNError on failure)."""
         if not self._validated:
             full_validation(self.ast)
             self._validated = True
@@ -57,6 +58,7 @@ class ParseResult:
         return [b.name for b in self.ast.blocks]
 
     def to_model(self, **kwargs):
+        """Build the full Model from this parse (models.model_from_gcn)."""
         from ..models.model import model_from_gcn
 
         return model_from_gcn(self.source, **kwargs)
@@ -75,6 +77,7 @@ def preprocess(source: str, filename: str | None = None,
 
 
 def preprocess_file(path, validate: bool = True) -> ParseResult:
+    """Read + parse (+ validate) a .gcn file into a lazy ParseResult."""
     import pathlib
 
     p = pathlib.Path(path)

@@ -31,6 +31,7 @@ def _render_index(idx) -> str:
 
 
 def print_expression(node: A.Expr) -> str:
+    """Render an expression AST back to GCN source text."""
     if isinstance(node, A.Number):
         v = node.value
         return str(int(v)) if float(v).is_integer() else repr(v)
@@ -61,6 +62,7 @@ def print_expression(node: A.Expr) -> str:
 
 
 def print_equation(eq: A.GCNEquation) -> str:
+    """Render an equation AST (with tags/multiplier/calibration) to GCN text."""
     parts = []
     for tag in eq.tags:
         parts.append(f"@{tag} ")
@@ -109,6 +111,7 @@ def print_component(comp: A.GCNComponent, indent: str = "    ") -> str:
 
 
 def print_block(block: A.GCNBlock) -> str:
+    """Render one model block back to GCN source text."""
     lines = [f"block {block.name}", "{"]
     for comp in block.components:
         lines.append(print_component(comp))
@@ -117,6 +120,7 @@ def print_block(block: A.GCNBlock) -> str:
 
 
 def print_model(model: A.GCNModel) -> str:
+    """Round-trip a whole parsed model back to GCN source text."""
     parts: list[str] = []
     if model.options:
         lines = ["options", "{"]

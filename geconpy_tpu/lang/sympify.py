@@ -50,14 +50,17 @@ class SympyConverter:
         self.assumptions = assumptions or {}
 
     def variable(self, name: str, time_index) -> TimeAwareSymbol:
+        """GCN variable reference -> TimeAwareSymbol with assumptions."""
         assume = merge_assumptions(self.assumptions.get(name))
         return TimeAwareSymbol(name, time_index, **assume)
 
     def parameter(self, name: str) -> sp.Symbol:
+        """GCN parameter reference -> plain sympy Symbol with assumptions."""
         assume = merge_assumptions(self.assumptions.get(name))
         return sp.Symbol(name, **assume)
 
     def convert(self, node: A.Expr) -> sp.Expr:
+        """Recursively convert an expression AST node to sympy."""
         if isinstance(node, A.Number):
             val = node.value
             return sp.Integer(int(val)) if float(val).is_integer() else sp.Float(val)
@@ -97,6 +100,7 @@ class SympyConverter:
         raise TypeError(f"cannot convert AST node of type {type(node).__name__}")
 
     def equation(self, eq: A.GCNEquation) -> sp.Eq:
+        """Equation AST -> sympy Eq via :meth:`convert` on both sides."""
         return sp.Eq(self.convert(eq.lhs), self.convert(eq.rhs))
 
     def residual(self, eq: A.GCNEquation) -> sp.Expr:
@@ -105,8 +109,10 @@ class SympyConverter:
 
 
 def ast_to_sympy(node: A.Expr, assumptions: dict[str, dict] | None = None) -> sp.Expr:
+    """Expression AST -> sympy with TimeAwareSymbols and GCN assumptions."""
     return SympyConverter(assumptions).convert(node)
 
 
 def equation_to_sympy(eq: A.GCNEquation, assumptions: dict[str, dict] | None = None) -> sp.Eq:
+    """Equation AST -> sympy Eq (lhs == rhs)."""
     return SympyConverter(assumptions).equation(eq)

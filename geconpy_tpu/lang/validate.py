@@ -36,6 +36,7 @@ def _expr_parameters(expr: A.Expr) -> list[A.Parameter]:
 
 
 def validate_block(block: A.GCNBlock, collector: ErrorCollector) -> None:
+    """Per-block semantic checks (components, controls, objective shape)."""
     seen_components: set[str] = set()
     for comp in block.components:
         if comp.name in seen_components:
@@ -131,6 +132,7 @@ def validate_block(block: A.GCNBlock, collector: ErrorCollector) -> None:
 
 
 def validate_model(model: A.GCNModel, collector: ErrorCollector) -> None:
+    """Model-level semantic checks (undefined symbols, duplicates, timing)."""
     # classify names: anything written with [brackets] anywhere is a variable;
     # bare names in expressions are parameters.
     variable_names: set[str] = set()

@@ -39,14 +39,17 @@ class BlockEquation:
 
     @property
     def residual(self) -> sp.Expr:
+        """lhs - rhs of the equation."""
         return self.lhs - self.rhs
 
     @property
     def excluded(self) -> bool:
+        """True when tagged ``@exclude`` (skipped by the FOC engine)."""
         return "exclude" in self.tags
 
     @property
     def minimize(self) -> bool:
+        """True when tagged ``@minimize`` (objective sign-flipped)."""
         return "minimize" in self.tags
 
 
@@ -76,6 +79,7 @@ class Block:
     # ------------------------------------------------------------------ build
     @classmethod
     def from_ast(cls, ast_block: A.GCNBlock, converter: SympyConverter) -> "Block":
+        """Build a Block from a parsed GCN AST block (sympy conversion + flags)."""
         block = cls(name=ast_block.name)
 
         def convert_equation(eq: A.GCNEquation) -> BlockEquation:
@@ -285,6 +289,7 @@ class Block:
 
     @property
     def parameters(self) -> list[sp.Symbol]:
+        """Every non-variable symbol appearing in the block's equations."""
         out: set[sp.Symbol] = set()
         for eq in self.system_equations:
             for atom in eq.free_symbols:

@@ -59,27 +59,32 @@ class PolicySolution:
 
     # ------------------------------------------------------- conveniences
     def impulse_responses(self, periods: int = 40, **kwargs):
+        """Per-shock IRFs as an xarray (see analysis.simulate.impulse_response_function)."""
         from ..analysis.simulate import impulse_response_function
 
         return impulse_response_function(self, periods=periods, **kwargs)
 
     def simulate(self, periods: int = 40, n_simulations: int = 100, **kwargs):
+        """Stochastic simulations from the linear solution (analysis.simulate.simulate)."""
         from ..analysis.simulate import simulate
 
         return simulate(self, periods=periods, n_simulations=n_simulations,
                         **kwargs)
 
     def stationary_covariance(self, **kwargs):
+        """Stationary covariance of the solved model (Lyapunov fixed point)."""
         from ..stats.covariance import stationary_covariance_matrix
 
         return stationary_covariance_matrix(self, **kwargs)
 
     def autocorrelation(self, n_lags: int = 10, **kwargs):
+        """Autocorrelation matrices Gamma_k for k = 0..n_lags."""
         from ..stats.covariance import autocovariance_matrix
 
         return autocovariance_matrix(self, n_lags=n_lags, **kwargs)
 
     def summary(self):
+        """P/Q/R/S policy tables + eigenvalue/BK report (perturbation_diagnostics)."""
         from ..stats.perturbation_diagnostics import (
             summarize_perturbation_solution,
         )
@@ -120,6 +125,7 @@ class Model:
         return not self.primitives.is_linear
 
     def linearizer(self, loglin_variables="auto"):
+        """Cached jittable ``(x_ss, theta_full) -> Linearization`` for this model."""
         if loglin_variables == "auto":
             loglin_variables = self.default_loglin
         key = ("linearizer", loglin_variables if isinstance(loglin_variables, bool)
@@ -131,22 +137,27 @@ class Model:
     # ------------------------------------------------------------- properties
     @property
     def variables(self) -> list[str]:
+        """Variable names in model (declaration) order."""
         return self.functions.variable_names
 
     @property
     def shocks(self) -> list[str]:
+        """Shock names in declaration order."""
         return self.functions.shock_names
 
     @property
     def param_names(self) -> list[str]:
+        """Free (non-deterministic) parameter names, the order of ``default_theta``."""
         return [p.name for p in self.functions.free_params]
 
     @property
     def n_variables(self) -> int:
+        """Number of model variables (static shape of the solved system)."""
         return self.functions.n_variables
 
     @property
     def n_shocks(self) -> int:
+        """Number of exogenous shocks."""
         return self.functions.n_shocks
 
     @cached_property

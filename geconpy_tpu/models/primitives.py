@@ -55,10 +55,12 @@ class ModelPrimitives:
 
     @property
     def steady_state_system(self) -> list[sp.Expr]:
+        """Residual system at the steady state (t -> ss substitution, shocks -> 0)."""
         return system_to_steady_state(self.equations, self.shocks)
 
     @property
     def is_linear(self) -> bool:
+        """True when the GCN declared ``options { linear = TRUE; }``."""
         return bool(self.options.get("linear", False))
 
 
@@ -344,6 +346,7 @@ def load_gcn(
 
 
 def load_gcn_file(path, **kwargs) -> ModelPrimitives:
+    """Parse + validate a .gcn file and build its ModelPrimitives bundle."""
     import pathlib
 
     p = pathlib.Path(path)

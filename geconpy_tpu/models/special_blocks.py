@@ -99,6 +99,7 @@ class CobbDouglasBlock(Block):
 
     @staticmethod
     def detect(block: Block) -> bool:
+        """Pattern-match a monomial (Cobb-Douglas) production constraint."""
         if block.objective is None or len(block.constraints) != 1:
             return False
         con = block.constraints[0]
@@ -147,6 +148,7 @@ class CESBlock(Block):
 
     @staticmethod
     def detect(block: Block) -> bool:
+        """Pattern-match a CES aggregator constraint."""
         if block.objective is None or len(block.constraints) != 1:
             return False
         con = block.constraints[0]

@@ -30,11 +30,13 @@ class VectorBijector(NamedTuple):
     kinds: jax.Array  # int array, one code per element
 
     def forward(self, u: jax.Array) -> jax.Array:
+        """Unconstrained R^n -> constrained values (elementwise)."""
         x = jnp.where(self.kinds == LOG, jnp.exp(u), u)
         x = jnp.where(self.kinds == NEG_LOG, -jnp.exp(u), x)
         return x
 
     def inverse(self, x: jax.Array) -> jax.Array:
+        """Constrained values -> unconstrained R^n (elementwise)."""
         safe_pos = jnp.log(jnp.where(self.kinds == LOG, jnp.maximum(x, 1e-300), 1.0))
         safe_neg = jnp.log(jnp.where(self.kinds == NEG_LOG, jnp.maximum(-x, 1e-300), 1.0))
         u = jnp.where(self.kinds == LOG, safe_pos, x)

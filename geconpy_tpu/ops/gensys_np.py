@@ -60,6 +60,9 @@ def _ranked_svd(M: np.ndarray):
 
 def gensys(g0, g1, c=None, psi=None, pi=None, div: float | None = None
            ) -> GensysResult:
+    """Sims (2002) gensys on the host via scipy ordqz — the oracle for the
+    device-side disk-iteration solver (``gensys_jax``).  Returns G1/impact
+    and the eu existence/uniqueness codes."""
     n = g0.shape[0]
     g0 = np.asarray(g0, dtype=complex)
     g1 = np.asarray(g1, dtype=complex)

@@ -203,5 +203,7 @@ def parallel_kalman_filter(y, T, R, Q, Z, H, d=None, x0=None, P0=None):
 
 
 def parallel_kalman_loglik(y, T, R, Q, Z, H, d=None, x0=None, P0=None):
+    """Total log-likelihood via the associative-scan (parallel-prefix)
+    Kalman filter; -inf on non-finite (rejected) draws."""
     ll = parallel_kalman_filter(y, T, R, Q, Z, H, d, x0, P0).loglik
     return jnp.where(jnp.isfinite(ll), ll, -jnp.inf)

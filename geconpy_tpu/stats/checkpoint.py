@@ -33,6 +33,7 @@ class SamplerCheckpoint:
 
 
 def save_checkpoint(path, ckpt: SamplerCheckpoint) -> None:
+    """Atomically write a sampler checkpoint (write temp + rename)."""
     path = pathlib.Path(path)
     path.mkdir(parents=True, exist_ok=True)
     # write-then-rename for crash safety
@@ -47,6 +48,7 @@ def save_checkpoint(path, ckpt: SamplerCheckpoint) -> None:
 
 
 def load_checkpoint(path) -> SamplerCheckpoint:
+    """Load a sampler checkpoint written by :func:`save_checkpoint`."""
     path = pathlib.Path(path)
     meta = json.loads((path / "meta.json").read_text())
     with np.load(path / "arrays.npz", allow_pickle=False) as data:

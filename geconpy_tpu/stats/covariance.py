@@ -136,6 +136,7 @@ def fevd(T, R, Q, horizon: int = 40):
 
 def stationary_covariance_matrix(solution, shock_std=None, shock_cov=None
                                  ) -> pd.DataFrame:
+    """Variable-labeled stationary covariance of a solved model."""
     T = solution.T.to_numpy()
     R = solution.R.to_numpy()
     Q = build_shock_cov(R.shape[1], shock_std, shock_cov,
@@ -146,6 +147,7 @@ def stationary_covariance_matrix(solution, shock_std=None, shock_cov=None
 
 def autocovariance_matrix(solution, n_lags: int = 10, shock_std=None,
                           shock_cov=None, correlation: bool = True) -> pd.DataFrame:
+    """(lag, variable)-labeled autocovariance/autocorrelation table Gamma_k."""
     T = solution.T.to_numpy()
     R = solution.R.to_numpy()
     Q = build_shock_cov(R.shape[1], shock_std, shock_cov,

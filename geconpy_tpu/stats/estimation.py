@@ -28,6 +28,7 @@ __all__ = ["fit", "fit_pmmh", "PosteriorResult", "make_batched_logp_grad"]
 
 _LOGP_GRAD_CACHE = weakref.WeakKeyDictionary()
 _JIT_CACHE = weakref.WeakKeyDictionary()
+_MAP_CACHE = weakref.WeakKeyDictionary()
 
 
 def _cached_jit(fn):
@@ -99,11 +100,13 @@ class PosteriorResult:
     summary_: pd.DataFrame | None = None
 
     def summary(self) -> pd.DataFrame:
+        """Per-parameter posterior table: mean/sd/HDI/ESS/R-hat (cached)."""
         if self.summary_ is None:
             self.summary_ = summarize_chains(self.samples, self.param_names)
         return self.summary_
 
     def to_frame(self) -> pd.DataFrame:
+        """Draws as a (chain, draw)-indexed DataFrame, one column per parameter."""
         c, n, d = self.samples.shape
         index = pd.MultiIndex.from_product([range(c), range(n)],
                                            names=["chain", "draw"])
@@ -111,6 +114,7 @@ class PosteriorResult:
                             columns=self.param_names)
 
     def posterior_mean(self) -> dict[str, float]:
+        """Posterior mean per parameter, pooled over chains and draws."""
         flat = self.samples.reshape(-1, self.samples.shape[-1])
         return dict(zip(self.param_names, flat.mean(axis=0)))
 
@@ -208,8 +212,18 @@ def fit(
     if init == "map":
         from .model_comparison import find_map
 
-        u_mode = find_map(_cached_jit(logpost), ss_mod.initial_position())
-        _log.info("MAP found: logpost %.2f", float(logpost(u_mode)))
+        # memoize the (deterministic) mode search per logpost + start point:
+        # a repeat fit on the same model + data skips both the recompute and
+        # find_map's per-call jit closures
+        jl = _cached_jit(logpost)
+        u0_init = ss_mod.initial_position()
+        bucket = _MAP_CACHE.setdefault(logpost, {})
+        u0_key = np.asarray(u0_init).tobytes()
+        if u0_key not in bucket:
+            u_mode = find_map(jl, u0_init)
+            bucket[u0_key] = (u_mode, float(jl(u_mode)))
+        u_mode, mode_logp = bucket[u0_key]
+        _log.info("MAP found: logpost %.2f", mode_logp)
         inits = u_mode[None, :] + 0.05 * jax.random.normal(
             k_init, (num_chains, u_mode.shape[0]), dtype=u_mode.dtype)
     elif init == "prior":

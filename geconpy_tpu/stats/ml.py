@@ -32,6 +32,7 @@ class MLResult(NamedTuple):
     unconstrained: np.ndarray  # the mode in unconstrained space
 
     def summary(self):
+        """Point estimates with asymptotic (inverse-Hessian) standard errors."""
         import pandas as pd
 
         rows = {n: (self.params[n], self.std_errors[n])

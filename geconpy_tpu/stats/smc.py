@@ -46,6 +46,7 @@ class SMCResult(NamedTuple):
     param_names: list[str]
 
     def summary(self):
+        """Weighted posterior table: mean/sd/HDI per parameter."""
         import pandas as pd
 
         s = self.samples

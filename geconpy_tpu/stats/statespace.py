@@ -435,10 +435,12 @@ class DSGEStateSpace:
     # ----------------------------------------------------------------- sizes
     @property
     def n_estimated(self) -> int:
+        """Number of estimated parameters (the NUTS dimension)."""
         return len(self.estimated)
 
     @property
     def param_labels(self) -> list[str]:
+        """Estimated-parameter names, the column order of posterior draws."""
         return [p.name for p in self.estimated]
 
     # ------------------------------------------------------------ transforms
@@ -452,6 +454,7 @@ class DSGEStateSpace:
         return jnp.asarray(out)
 
     def constrain(self, u: jnp.ndarray) -> jnp.ndarray:
+        """Unconstrained sampler vector -> constrained parameter values."""
         xs = []
         for i, p in enumerate(self.estimated):
             x, _ = p.prior.from_unconstrained(u[i])
@@ -757,6 +760,8 @@ class DSGEStateSpace:
     @_cached_builder
     def build_logpost_extras(self, data: np.ndarray
                              ) -> Callable[[jnp.ndarray], LogPostExtras]:
+        """``u -> LogPostExtras``: log posterior plus the per-draw
+        diagnostics (success flags, residual norms, spectral radius)."""
         y, _loglik = self._data_and_loglik(data)
         solve_draw = self.build_solution_fn()
 
@@ -806,6 +811,7 @@ class DSGEStateSpace:
         return build_pf_loglik_second_order(self, data, **kwargs)
 
     def build_second_order_solution_fn(self) -> Callable[[jnp.ndarray], dict]:
+        """Jittable ``u -> pruned second-order solution dict`` (stats/nonlinear.py)."""
         from .nonlinear import build_second_order_solution_fn
 
         return build_second_order_solution_fn(self)
@@ -1179,6 +1185,7 @@ class DSGEStateSpace:
 
     # ------------------------------------------------------- prior utilities
     def sample_prior(self, key, n_draws: int = 1000) -> dict[str, np.ndarray]:
+        """Monte-Carlo prior draws per estimated parameter (constrained space)."""
         keys = jax.random.split(key, len(self.estimated))
         return {
             p.name: np.asarray(p.prior.sample(keys[i], (n_draws,)))

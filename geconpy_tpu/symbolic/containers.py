@@ -101,9 +101,11 @@ class SymbolDictionary(dict):
 
     # -- key-space conversions ----------------------------------------------
     def is_sympy(self) -> bool:
+        """True when every key is a sympy Symbol (vs plain string keys)."""
         return all(isinstance(k, sp.Symbol) for k in self)
 
     def to_sympy(self) -> "SymbolDictionary":
+        """Convert string keys to sympy symbols, restoring stored assumptions."""
         items = {}
         for k, v in self.items():
             items[_to_symbol_key(k, self._assumptions)] = v
@@ -113,6 +115,7 @@ class SymbolDictionary(dict):
         return out
 
     def to_string(self) -> "SymbolDictionary":
+        """Convert symbol keys to their string names, remembering assumptions."""
         items = {}
         for k, v in self.items():
             if isinstance(k, sp.Symbol):
@@ -133,16 +136,20 @@ class SymbolDictionary(dict):
         return self._copy_with(items)
 
     def to_ss(self) -> "SymbolDictionary":
+        """Shift every TimeAwareSymbol key to its steady-state form."""
         return self._map_keys(lambda k: k.to_ss())
 
     def step_forward(self) -> "SymbolDictionary":
+        """Shift every TimeAwareSymbol key one period forward (t -> t+1)."""
         return self._map_keys(lambda k: k.step_forward())
 
     def step_backward(self) -> "SymbolDictionary":
+        """Shift every TimeAwareSymbol key one period back (t -> t-1)."""
         return self._map_keys(lambda k: k.step_backward())
 
     # -- misc ---------------------------------------------------------------
     def sort_keys(self) -> "SymbolDictionary":
+        """Return a copy with keys in natural sort order (x2 before x10)."""
         from ..models.timing import natural_sort_key
 
         def keyname(k):
@@ -151,6 +158,7 @@ class SymbolDictionary(dict):
         return self._copy_with({k: self[k] for k in sorted(self, key=keyname)})
 
     def values_to_float(self) -> "SymbolDictionary":
+        """Coerce every value to a python float (post numeric solve)."""
         return self._copy_with({k: float(v) for k, v in self.items()})
 
     def __reduce__(self):

@@ -104,22 +104,27 @@ class TimeAwareSymbol(sp.Symbol):
     # -- time algebra ------------------------------------------------------
     @property
     def safe_name(self) -> str:
+        """Identifier-safe rendering (C_t, C_tm1, C_tp1, C_ss)."""
         return safe_name(self.name)
 
     def set_t(self, t: int | str) -> "TimeAwareSymbol":
+        """Same base symbol at time index ``t`` (int or "ss")."""
         return TimeAwareSymbol(self.base_name, t, **self.assumptions0)
 
     def step_forward(self) -> "TimeAwareSymbol":
+        """t -> t+1 (steady-state symbols are fixed points)."""
         if self.time_index == "ss":
             return self
         return self.set_t(self.time_index + 1)
 
     def step_backward(self) -> "TimeAwareSymbol":
+        """t -> t-1 (steady-state symbols are fixed points)."""
         if self.time_index == "ss":
             return self
         return self.set_t(self.time_index - 1)
 
     def to_ss(self) -> "TimeAwareSymbol":
+        """The symbol's steady-state counterpart (time index "ss")."""
         return self.set_t("ss")
 
     def exit_ss(self) -> "TimeAwareSymbol":

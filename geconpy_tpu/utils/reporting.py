@@ -115,6 +115,7 @@ def block_to_html(block) -> str:
 
 
 def model_to_html(model) -> str:
+    """Collapsible HTML (LaTeX equations per block) for notebook display."""
     parts = [f"<h3>DSGE model: {model.n_variables} variables, "
              f"{model.n_shocks} shocks</h3>"]
     for block in model.primitives.blocks.values():

@@ -1,10 +1,11 @@
 """Load real Dynare ``*_results.mat`` outputs for external parity tests.
 
-The ``.mat`` fixtures are genuine Dynare runs shipped with the upstream
-reference (``/root/reference/tests/_resources/dynare_outputs/``); the numbers
-are *data* — the loader below is our own implementation of MATLAB
-struct-array unpacking (role parity with the reference recipe at
-``tests/_resources/load_dynare.py:32-62``).
+The ``.mat`` fixtures under ``fixtures/dynare_outputs/`` are genuine Dynare
+runs — third-party oracle DATA vendored from the upstream gEconpy test
+resources (jessegrabowski/gEconpy, ``tests/_resources/dynare_outputs/``) so
+the parity suite is self-contained; the loader below is our own
+implementation of MATLAB struct-array unpacking (role parity with the
+reference recipe at ``tests/_resources/load_dynare.py:32-62``).
 
 Dynare bookkeeping:
 - ``M_.endo_names``     — variables in declaration order
@@ -22,7 +23,7 @@ import numpy as np
 import pandas as pd
 import scipy.io as sio
 
-DYNARE_DIR = Path("/root/reference/tests/_resources/dynare_outputs")
+DYNARE_DIR = Path(__file__).parent / "fixtures" / "dynare_outputs"
 
 
 def _struct_to_dict(rec) -> dict:

@@ -1,9 +1,9 @@
 """External accuracy anchors: P/Q/R/S policy blocks vs gEcon-R golden values.
 
-The golden numbers come from the R gEcon package (transcribed in the
-upstream reference at ``tests/_resources/expected_matrices.py``); they are
-loaded here as *data*.  Role parity with the reference's golden-matrix
-validation (``/root/reference/tests/model/test_model.py:414``).
+The golden numbers come from the R gEcon package, vendored as data in
+``fixtures/gecon_r_golden.py`` (see its provenance header) so the suite is
+self-contained.  Role parity with the reference's golden-matrix validation
+(``/root/reference/tests/model/test_model.py:414``).
 
 Conventions bridged below:
 - gEcon orders variables by natural sort and partitions into states (columns
@@ -15,7 +15,6 @@ Conventions bridged below:
   x_gecon = |x_ss|^-1 * scale_ours * x_ours.
 """
 
-import importlib.util
 from pathlib import Path
 
 import numpy as np
@@ -25,19 +24,11 @@ from numpy.testing import assert_allclose
 import geconpy_tpu
 from geconpy_tpu.models.perturbation import gecon_matrices
 
+from .fixtures.gecon_r_golden import RBC_2_BLOCK_SS_GOLDEN
+
 GCN_DIR = Path(__file__).parent / "gcn"
-GOLDEN_PATH = Path(
-    "/root/reference/tests/_resources/expected_matrices.py")
 
-
-def _load_goldens():
-    spec = importlib.util.spec_from_file_location("ref_expected", GOLDEN_PATH)
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod.expected_linearization_result
-
-
-GOLDENS = _load_goldens()
+GOLDENS = {"rbc_2_block_ss.gcn": RBC_2_BLOCK_SS_GOLDEN}
 
 # Scope notes (investigated, 2026-08):
 # - rbc_2_block_ss: matches gEcon-R exactly (the anchor below).
