@@ -26,6 +26,7 @@ from .stats.estimation import PosteriorResult, fit
 from .stats.smc import SMCResult, fit_smc
 from .stats.forecast import conditional_forecast, posterior_forecast
 from .stats.perturbation_diagnostics import (
+    bk_condition_sweep,
     check_bk_condition,
     eigenvalue_sensitivity,
     prior_solvability_check,
@@ -92,7 +93,7 @@ __all__ = [
     "autocorrelation_matrix",
     "bounds_from_priors",
     "build_Q_matrix",
-    "check_bk_condition",
+    "check_bk_condition", "bk_condition_sweep",
     "check_steady_state",
     "data_from_prior",
     "eigenvalue_sensitivity",

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from .precision import highest_precision
 
-__all__ = ["disk_function_split", "DiskSplitResult"]
+__all__ = ["disk_function_split", "DiskSplitResult", "count_eigs_inside"]
 
 
 class DiskSplitResult(NamedTuple):
@@ -47,16 +47,8 @@ class DiskSplitResult(NamedTuple):
     converged: jax.Array      # bool
 
 
-@highest_precision
-def disk_function_split(A, B, k_stable: int, radius: float = 1.0,
-                        n_iter: int = 30) -> DiskSplitResult:
-    """Right deflating subspace of the pencil (A, B) for |lambda| < radius.
-
-    ``k_stable`` is the *expected* subspace dimension (static — for a
-    determinate DSGE model it equals the number of non-explosive roots).  The
-    detected dimension is returned so callers can flag indeterminacy /
-    nonexistence when it differs.
-    """
+def _disk_projector(A, B, radius, n_iter):
+    """Run the inverse-free iteration; return (P_inside, finite flag)."""
     n = A.shape[0]
     dtype = A.dtype
     A_j = A / radius
@@ -84,7 +76,44 @@ def disk_function_split(A, B, k_stable: int, radius: float = 1.0,
     M = A_inf + B_inf
     P_in = jnp.linalg.solve(M, B_inf)
     finite = jnp.all(jnp.isfinite(P_in))
-    P_safe = jnp.where(finite, P_in, jnp.zeros_like(P_in))
+    return jnp.where(finite, P_in, jnp.zeros_like(P_in)), finite
+
+
+@highest_precision
+def count_eigs_inside(A, B, radius: float = 1.0, n_iter: int = 30):
+    """Number of generalized eigenvalues of the pencil (A, B) with
+    |lambda| < ``radius`` — fully on device, vmappable (no host callback).
+
+    Infinite eigenvalues (singular B directions) land outside every disk,
+    so ``n - n_inside`` counts unstable-plus-infinite roots: exactly the
+    Blanchard-Kahn "explosive root" count (reference diagnostic:
+    ``gEconpy/model/perturbation.py:412,448``, here via repeated disk
+    splits instead of a host QZ/eig).  Returns ``(n_inside, ok)`` where
+    ``ok`` flags a clean 0/1 singular-value gap of the projector — a draw
+    with a root ON the split circle (|lambda| ~ radius) reports ok=False
+    rather than a silently arbitrary count.
+    """
+    P_in, finite = _disk_projector(A, B, radius, n_iter)
+    sv = jnp.linalg.svd(P_in, compute_uv=False)
+    n_inside = jnp.sum(sv > 0.5)
+    # oblique-projector singular values cluster at >=1 and ~0; anything in
+    # the dead band means the iteration did not separate the spectra
+    gap_ok = ~jnp.any((sv > 0.2) & (sv < 0.8))
+    return n_inside, finite & gap_ok
+
+
+@highest_precision
+def disk_function_split(A, B, k_stable: int, radius: float = 1.0,
+                        n_iter: int = 30) -> DiskSplitResult:
+    """Right deflating subspace of the pencil (A, B) for |lambda| < radius.
+
+    ``k_stable`` is the *expected* subspace dimension (static — for a
+    determinate DSGE model it equals the number of non-explosive roots).  The
+    detected dimension is returned so callers can flag indeterminacy /
+    nonexistence when it differs.
+    """
+    n = A.shape[0]
+    P_safe, finite = _disk_projector(A, B, radius, n_iter)
 
     # orthonormal basis of range(P_in): top singular vectors
     U, sv, _ = jnp.linalg.svd(P_safe)

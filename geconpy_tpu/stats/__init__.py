@@ -36,6 +36,8 @@ from .moment_matching import MomentMatchResult, fit_moment_matching, model_momen
 from .nuts import NUTSResult, nuts_kernel, sample_nuts
 from .pmmh import PMMHResult, sample_pmmh
 from .perturbation_diagnostics import (
+    bk_condition_sweep,
+    make_bk_count_fn,
     eigenvalue_sensitivity,
     spectral_radius_sensitivity,
     prior_solvability_check,
@@ -78,7 +80,7 @@ __all__ = [
     "autocovariance", "autocovariance_matrix", "autocorrelation", "fevd",
     "eigenvalue_sensitivity", "spectral_radius_sensitivity",
     "prior_solvability_check", "solvability_check",
-    "summarize_perturbation_solution",
+    "summarize_perturbation_solution", "bk_condition_sweep", "make_bk_count_fn",
     "posterior_irfs", "posterior_autocorrelation", "posterior_fevd",
     "posterior_smoothed_states", "posterior_diagnostics",
     "prepare_mixed_frequency_data",

@@ -26,6 +26,7 @@ from .sampling import sample_from_priors, sample_from_priors_qmc, \
     sample_uniform_from_priors
 
 __all__ = ["check_bk_condition", "solvability_check", "prior_solvability_check",
+           "bk_condition_sweep", "make_bk_count_fn",
            "summarize_perturbation_solution", "eigenvalue_sensitivity",
            "spectral_radius_sensitivity"]
 
@@ -139,6 +140,84 @@ def prior_solvability_check(model: Model, n_samples: int = 1000,
     return solvability_check(model, draws, mesh=mesh)
 
 
+def make_bk_count_fn(model: Model, loglin_variables=True,
+                     radius: float = 1.0 + 1e-6, n_iter: int = 30):
+    """Jittable/vmappable ``theta -> BK count dict`` — no host callbacks.
+
+    Per draw: steady state -> linearize -> Sims-augmented pencil -> repeated
+    disk split (:func:`geconpy_tpu.ops.qz_disk.count_eigs_inside`) counting
+    |lambda| > ``radius`` roots (infinite ones included) against the number
+    of forward-looking variables.  This is the device-side replacement for
+    the host-QZ table in sweeps (reference diagnostic:
+    ``gEconpy/model/perturbation.py:412,448``; the per-model human-readable
+    table stays on :meth:`Model.check_bk_condition`).
+    """
+    from ..ops.qz_disk import count_eigs_inside
+
+    linearize = model.linearizer(loglin_variables)
+    ss_solver = model.ss_solver     # build eagerly: lazy construction inside
+    #                                 a jit trace would leak traced constants
+    lead_idx = model.lead_var_idx
+    n_forward = len(lead_idx)
+
+    def per_draw(theta):
+        sol = ss_solver(theta)
+        lin = linearize(sol.x_ss, sol.theta_full)
+        g0, g1 = _bk_pencil(lin.A, lin.B, lin.C, lead_idx)
+        n_inside, count_ok = count_eigs_inside(g1, g0, radius=radius,
+                                               n_iter=n_iter)
+        m = g0.shape[0]
+        n_unstable = m - n_inside
+        lin_ok = jnp.all(jnp.isfinite(g0)) & jnp.all(jnp.isfinite(g1))
+        ok = sol.success & lin_ok & count_ok
+        return {
+            "n_unstable": n_unstable,
+            "n_forward": jnp.asarray(n_forward, n_unstable.dtype),
+            "bk_satisfied": ok & (n_unstable == n_forward),
+            "ok": ok,
+        }
+
+    return per_draw
+
+
+def bk_condition_sweep(model: Model, param_draws: dict[str, np.ndarray],
+                       loglin_variables=True, mesh=None) -> pd.DataFrame:
+    """Per-draw Blanchard-Kahn counts over a parameter sweep, vmapped on
+    device (and optionally sharded over a mesh) — no per-draw host trips.
+
+    ``param_draws`` maps parameter names to equal-length 1-D arrays
+    (unspecified parameters stay at calibration).  Returns one row per draw
+    with ``n_unstable``, ``n_forward``, ``bk_satisfied`` and an ``ok`` flag
+    (False when the steady state failed or a root sits on the unit circle,
+    where the count is ill-defined).
+    """
+    names = list(param_draws)
+    n_draws = len(next(iter(param_draws.values())))
+    free_names = [p.name for p in model.functions.free_params]
+    unknown = set(names) - set(free_names)
+    if unknown:
+        raise ValueError(f"unknown parameters in draws: {sorted(unknown)}")
+
+    theta0 = np.asarray(model.default_theta())
+    thetas = np.tile(theta0, (n_draws, 1))
+    for name, values in param_draws.items():
+        thetas[:, free_names.index(name)] = np.asarray(values)
+    thetas = jnp.asarray(thetas)
+
+    per_draw = make_bk_count_fn(model, loglin_variables)
+    if mesh is not None:
+        from ..parallel.mesh import sharded_prior_sweep
+
+        out = sharded_prior_sweep(per_draw, thetas, mesh)
+    else:
+        out = jax.jit(jax.vmap(per_draw))(thetas)
+
+    df = pd.DataFrame({name: np.asarray(v) for name, v in param_draws.items()})
+    for k in ("n_unstable", "n_forward", "bk_satisfied", "ok"):
+        df[k] = np.asarray(out[k])
+    return df
+
+
 def summarize_perturbation_solution(solution) -> pd.DataFrame:
     """gEcon-style P/Q/R/S table from a PolicySolution."""
     from ..models.perturbation import gecon_matrices
@@ -183,16 +262,11 @@ def spectral_radius_sensitivity(model: Model, **updates) -> pd.DataFrame:
     return pd.DataFrame({"d_rho_d_param": np.asarray(grad)}, index=names)
 
 
-def _bk_companion(A, B, C, lead_idx, eps: float = 1e-7):
-    """Sims-augmented transition matrix M = (−Γ0 + εI)⁻¹ Γ1 whose
-    eigenvalues are the BK generalized eigenvalues (infinite roots become
-    O(1/ε), still counted as unstable).  Traced/differentiable.
-
-    ε trades off the perturbation of finite roots (O(ε)) against the eig
-    accuracy of the finite roots, which degrades as O(macheps · 1/ε) through
-    the O(1/ε) regularized-infinite roots; 1e-7 keeps both below ~1e-5 in
-    float64.  Mirrors the reference's symbolic construction
-    (``gEconpy/model/perturbation.py:448``)."""
+def _bk_pencil(A, B, C, lead_idx):
+    """Sims-augmented pencil (g1, g0): the BK roots are the generalized
+    eigenvalues ``g1 x = lambda g0 x`` (infinite roots from singular g0
+    directions).  Traced/differentiable; mirrors the reference's symbolic
+    construction (``gEconpy/model/perturbation.py:448``)."""
     n = A.shape[0]
     k = len(lead_idx)
     m = n + k
@@ -207,8 +281,20 @@ def _bk_companion(A, B, C, lead_idx, eps: float = 1e-7):
     g1 = jnp.zeros((m, m), dtype)
     g1 = g1.at[:n, :n].set(A)
     g1 = g1.at[jnp.arange(n, m), jnp.arange(n, m)].set(1.0)
+    return g0, g1
 
-    G0 = g0 + eps * jnp.eye(m, dtype=dtype)
+
+def _bk_companion(A, B, C, lead_idx, eps: float = 1e-7):
+    """Sims-augmented transition matrix M = (−Γ0 + εI)⁻¹ Γ1 whose
+    eigenvalues are the BK generalized eigenvalues (infinite roots become
+    O(1/ε), still counted as unstable).  Traced/differentiable.
+
+    ε trades off the perturbation of finite roots (O(ε)) against the eig
+    accuracy of the finite roots, which degrades as O(macheps · 1/ε) through
+    the O(1/ε) regularized-infinite roots; 1e-7 keeps both below ~1e-5 in
+    float64."""
+    g0, g1 = _bk_pencil(A, B, C, lead_idx)
+    G0 = g0 + eps * jnp.eye(g0.shape[0], dtype=A.dtype)
     return jnp.linalg.solve(G0, g1)
 
 
