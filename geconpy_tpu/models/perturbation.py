@@ -41,6 +41,27 @@ class LinearizationResult(NamedTuple):
     loglin_scale: jax.Array  # per-variable column scale actually applied
 
 
+def make_loglin_mask(mf: ModelFunctions,
+                     loglin_variables: list[str] | bool = True) -> np.ndarray:
+    """Static per-variable log-linearization request mask.
+
+    True (the gEcon default) requests log deviations for every variable;
+    False means level deviations throughout; a list selects by base name.
+    A requested variable still falls back to levels at runtime when its
+    steady state is not strictly positive (see ``make_linearizer``).
+    """
+    n = mf.n_variables
+    if loglin_variables is True:
+        return np.ones(n, dtype=bool)
+    if loglin_variables is False:
+        return np.zeros(n, dtype=bool)
+    requested = set(loglin_variables)
+    unknown = requested - set(mf.variable_names)
+    if unknown:
+        raise ValueError(f"loglin_variables not in model: {sorted(unknown)}")
+    return np.array([v in requested for v in mf.variable_names])
+
+
 def make_linearizer(
     mf: ModelFunctions,
     loglin_variables: list[str] | bool = True,
@@ -56,18 +77,7 @@ def make_linearizer(
     — but as a runtime ``where`` on device, so the same compiled program
     serves every parameter draw.
     """
-    n = mf.n_variables
-    if loglin_variables is True:
-        loglin_mask = np.ones(n, dtype=bool)
-    elif loglin_variables is False:
-        loglin_mask = np.zeros(n, dtype=bool)
-    else:
-        requested = set(loglin_variables)
-        unknown = requested - set(mf.variable_names)
-        if unknown:
-            raise ValueError(f"loglin_variables not in model: {sorted(unknown)}")
-        loglin_mask = np.array([v in requested for v in mf.variable_names])
-    loglin_mask_j = jnp.asarray(loglin_mask)
+    loglin_mask_j = jnp.asarray(make_loglin_mask(mf, loglin_variables))
 
     f = mf.f_resid
     jac_lag = jax.jacfwd(f, argnums=0)

@@ -141,6 +141,12 @@ class DSGEStateSpace:
           prepare_mixed_frequency_data to NaN-pad the data).
         - ``ss_obs_intercept``: include the steady-state observation
           intercept d (otherwise the data must be demeaned deviations).
+          For a directly-observed log-linearized variable the intercept is
+          ``log(v_ss)`` (data in logs); for level-linearized variables it
+          is ``v_ss`` (data in levels) — reference parity with
+          ``gEconpy/model/statespace.py:334`` ``_make_obs_intercept``.
+          Observation-equation rows use the equation's own value at the
+          steady state, in the equation's units.
         - ``full_shock_covariance``: estimate a full (correlated) shock
           covariance Q = S L Lᵀ S instead of diagonal — S = diag of the
           per-shock stds (GCN priors / shock_std as before), L the
@@ -382,6 +388,8 @@ class DSGEStateSpace:
         variables); observation-equation rows get exact jacfwd coefficients
         times the log-linearization scale (chain rule dy/dy_hat = scale).
         """
+        from ..models.perturbation import _ZERO_TOL, make_loglin_mask
+
         mf = self.model.functions
         n = mf.n_variables
         if core is None:
@@ -391,6 +399,10 @@ class DSGEStateSpace:
         L = self._obs_max_lag
         k = len(self.observed_states)
         dtype = x_ss.dtype
+        lv = self.loglin_variables
+        if isinstance(lv, str) and lv == "auto":
+            lv = self.model.default_loglin
+        loglin_mask = make_loglin_mask(mf, lv)
         rows = []
         intercepts = []
         ss_blocks = [x_ss] * (L + 1)
@@ -408,7 +420,20 @@ class DSGEStateSpace:
                 full_row = jnp.zeros((n,), dtype).at[idx].set(1.0)
                 row = jnp.zeros(((L + 1) * n_core,), dtype) \
                     .at[:n_core].set(full_row[core_j])
-                intercept = x_ss[idx]
+                # a log-linearized state is a LOG deviation, so the data for
+                # a directly-observed variable are logs and the intercept is
+                # log(v_ss) — matching the reference's convention
+                # (gEconpy/model/statespace.py:334-380 _make_obs_intercept);
+                # level-linearized variables (incl. the runtime fallback for
+                # non-positive steady states) keep the level intercept v_ss
+                x_v = x_ss[idx]
+                if loglin_mask[idx]:
+                    intercept = jnp.where(
+                        x_v > _ZERO_TOL,
+                        jnp.log(jnp.maximum(x_v, jnp.asarray(1e-30, dtype))),
+                        x_v)
+                else:
+                    intercept = x_v
             rows.append(row)
             intercepts.append(intercept)
         Z = jnp.stack(rows)
@@ -948,11 +973,12 @@ class DSGEStateSpace:
         primal DARE settle as a lane-batched Pallas kernel
         (``ops/pallas_dare.py``) — gradients re-attach at the fixed point
         through the implicit DARE adjoint, so the kernel needs no backward
-        pass.  Measured on SW-2007 at batch 512 the kernel is at PARITY with
-        the default ``settle="xla"`` Hewer settle (the settle is
-        matmul-bound, which XLA already batches onto the MXU; lane layout
-        only wins over sequential per-element ops like LU pivoting), so XLA
-        is the default.
+        pass.  Measured on SW-2007 at batch 512 the kernel LOSES to the
+        default ``settle="xla"`` adaptive Hewer settle (51.4 vs 38.5
+        us/draw: the settle is matmul-bound, which XLA already batches onto
+        the MXU; lane layout only wins over sequential per-element ops like
+        LU pivoting), and its fixed-length schedule cannot early-exit or
+        reject un-settled tail draws, so XLA is the default.
 
         The Kalman likelihood is otherwise the configured XLA filter
         (differentiated by autodiff), identical math to
