@@ -234,7 +234,13 @@ def cyclostationary_kalman_loglik(y, T, R, Q, Z, H, d=None, x0=None,
         ok = jnp.all(jnp.isfinite(P_new))
         return jnp.where(ok, 0.5 * (P_new + P_new.T), P), None
 
-    P0, _ = jax.lax.scan(hewer, P0, None, length=4)
+    # 8 polishes, not 4: with tiny innovation covariances (no measurement
+    # error) the Newton/Kleinman quadratic basin shrinks like the smallest
+    # eigenvalue of S, and the iteration grinds linearly (~x0.2/stage)
+    # before the quadratic endgame — measured on SW-2007, 4 stages leave an
+    # O(10) log-likelihood bias while 8 are at the fixed point (see
+    # tests/ops/test_stationary_kalman.py::test_settle_unbiased_tiny_innovations)
+    P0, _ = jax.lax.scan(hewer, P0, None, length=8)
     P0 = _implicit_cyclic_dare_P(T, RQR, Z_stack, H_stack, P0)
 
     # ---- differentiable per-phase frozen-gain quantities from P0

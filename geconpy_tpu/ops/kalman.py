@@ -29,6 +29,21 @@ import jax.numpy as jnp
 from .precision import highest_precision
 from .tolerances import success_tol
 
+# Hewer stage schedule for the stationary settle: _N_HEWER unconditional
+# stages, then up to _N_HEWER_EXTRA more until successive iterates agree to
+# _HEWER_RTOL_EPS machine epsilons (the dtype's noise floor).  Hewer's
+# iteration is globally convergent and asymptotically quadratic (Hewer
+# 1971), but with tiny innovation covariances (no measurement error) the
+# quadratic basin shrinks like the smallest eigenvalue of S = Z P Zᵀ + H
+# and the middle stages contract only ~x0.2/stage — measured on SW-2007
+# (7 observables, no ME), 4 stages leave a +10..+460 log-likelihood bias
+# and ~8-10 reach the fixed point, so a fixed count of 4 is silently wrong
+# and a fixed safe count wastes stages on well-conditioned models.  See
+# tests/ops/test_stationary_kalman.py::test_settle_unbiased_tiny_innovations.
+_N_HEWER = 4
+_N_HEWER_EXTRA = 12
+_HEWER_RTOL_EPS = 5.0
+
 __all__ = ["KalmanFilterResult", "KalmanSmootherResult", "kalman_filter",
            "kalman_smoother", "kalman_loglik", "steady_state_kalman_loglik",
            "steady_state_filter_parts", "stationary_kalman_loglik",
@@ -148,13 +163,25 @@ def _spd_inverse(S):
     SPD diagonal pivots are safe).  Batched Cholesky + triangular solves are
     sequential-in-k on TPU; this is k static vectorized rank-1 updates, much
     faster under vmap at k ~ 7, and differentiable (pure ops)."""
+    return _spd_inverse_logdet(S)[0]
+
+
+def _spd_inverse_logdet(S):
+    """(S⁻¹, log det S) in one unrolled Gauss-Jordan sweep: the elimination
+    pivots are exactly the Cholesky pivots squared, so their log-sum is the
+    log-determinant for free — no separate batched Cholesky (sequential on
+    TPU) needed.  A non-PD S yields a NaN logdet, which the callers' -inf
+    gating rejects, matching the Cholesky failure mode."""
     k = S.shape[-1]
     A = jnp.concatenate([S, jnp.eye(k, dtype=S.dtype)], axis=-1)  # (k, 2k)
+    logdet = jnp.zeros((), S.dtype)
     for i in range(k):
-        piv = A[i, :] / A[i, i]
+        d = A[i, i]
+        logdet = logdet + jnp.log(d)
+        piv = A[i, :] / d
         A = A - A[:, i:i + 1] * piv[None, :]
         A = A.at[i].set(piv)
-    return A[:, k:]
+    return A[:, k:], logdet
 
 
 def _dare_step(P, T, RQR, Z, H):
@@ -212,7 +239,9 @@ def _idare_bwd(res, P_bar):
     T, RQR, Z, H, P = res
     PZt = P @ Z.T
     S = Z @ PZt + H
-    Kp = T @ jnp.linalg.solve(S, PZt.T).T  # predictive gain T P Zᵀ S⁻¹
+    # unrolled GJ inverse, not jnp.linalg.solve: batched LU is sequential
+    # per element on TPU and this runs per draw at batch >= 512
+    Kp = T @ (PZt @ _spd_inverse(S))       # predictive gain T P Zᵀ S⁻¹
     A_cl = T - Kp @ Z
     # w = (I − f_Pᵀ)⁻¹ P_bar with f_P(dP) = A_cl dP A_clᵀ
     w = _stein_adjoint(A_cl, 0.5 * (P_bar + P_bar.T))
@@ -280,7 +309,7 @@ def stationary_kalman_loglik(y, T, R, Q, Z, H, d=None, x0=None,
     # warm-up scan at all.
     P = _doubling(Ts, RQRs, 1e-14, 40)
 
-    def hewer(P, _):
+    def hewer_stage(P):
         PZt = P @ Zs.T
         S_h = Zs @ PZt + Hs
         Kp = Ts @ (PZt @ _spd_inverse(S_h))            # predictive gain
@@ -289,11 +318,53 @@ def stationary_kalman_loglik(y, T, R, Q, Z, H, d=None, x0=None,
         P_new = _doubling(A_cl, 0.5 * (Qc + Qc.T), 1e-14, 30)
         # guard: keep the previous iterate if the Lyapunov solve blew up
         ok = jnp.all(jnp.isfinite(P_new))
-        return jnp.where(ok, 0.5 * (P_new + P_new.T), P), None
+        return jnp.where(ok, 0.5 * (P_new + P_new.T), P)
 
-    P, _ = jax.lax.scan(hewer, P, None, length=4)
-    return stationary_loglik_from_P(y, T, RQR, Z, H, d, jnp.asarray(x0, dtype),
-                                    P)
+    # unrolled floor (the trip count is a static handful — a lax.scan here
+    # spends more on its carry's dynamic-update-slices than on the math at
+    # the batch-512 estimation hot path) ...
+    for _ in range(_N_HEWER):
+        P = hewer_stage(P)
+
+    # ... then adaptive continuation to the dtype's noise floor: successive
+    # Hewer updates contract until they hit the problem's rounding floor
+    # (~eps * condition * |P|, which can sit orders of magnitude above
+    # eps * |P| near unit roots), so "settled" means EITHER the update is a
+    # few machine epsilons of |P|, OR the updates have stopped contracting
+    # (plateau, ratio >= 1/2 of the previous) while already small
+    # (<= sqrt(eps) * |P|) — a plateau at a LARGE update is genuine
+    # non-convergence and rejects the draw below.  Under vmap this runs
+    # until the worst draw in the batch converges: well-conditioned batches
+    # pay a couple of extra stages, tiny-innovation tails up to the cap.
+    import numpy as np
+
+    eps = float(np.finfo(np.dtype(dtype)).eps)
+    rtol_hard = _HEWER_RTOL_EPS * eps
+    rtol_soft = float(np.sqrt(eps))
+
+    def cond(state):
+        _, _, it, done = state
+        return (~done) & (it < _N_HEWER_EXTRA)
+
+    def body(state):
+        P, prev_delta, it, _ = state
+        P_new = hewer_stage(P)
+        delta = jnp.max(jnp.abs(P_new - P))
+        scale = jnp.max(jnp.abs(P_new))
+        plateau = (delta >= 0.5 * prev_delta) & (delta <= rtol_soft * scale)
+        done = (delta <= rtol_hard * scale) | plateau | ~jnp.isfinite(delta)
+        return (P_new, delta, it + 1, done)
+
+    P, _, _, settled = jax.lax.while_loop(
+        cond, body,
+        (P, jnp.asarray(jnp.inf, dtype), jnp.asarray(0), jnp.asarray(False)))
+
+    ll = stationary_loglik_from_P(y, T, RQR, Z, H, d, jnp.asarray(x0, dtype),
+                                  P)
+    # an un-settled fixed point would yield a silently biased likelihood —
+    # reject the draw instead (visible as -inf, same convention as every
+    # other numerical failure in the pipeline)
+    return jnp.where(settled, ll, jnp.asarray(-jnp.inf, ll.dtype))
 
 
 @highest_precision
@@ -310,15 +381,15 @@ def stationary_loglik_from_P(y, T, RQR, Z, H, d, x0, P):
 
     PZt = P @ Z.T
     S = Z @ PZt + H
-    chol_S = jnp.linalg.cholesky(S)
     # one dense k x k inverse up front: the scan then does a matvec per step
     # instead of a pair of triangular solves (sequential on TPU, and this
-    # scan is the per-draw hot loop under vmap at batch >= 512)
-    Sinv = _spd_inverse(S)
+    # scan is the per-draw hot loop under vmap at batch >= 512); the same
+    # Gauss-Jordan sweep's pivots give the log-determinant, replacing a
+    # batched Cholesky
+    Sinv, logdet = _spd_inverse_logdet(S)
     K = PZt @ Sinv
     TK = T @ K
     M = T - TK @ Z
-    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol_S)))
     const = -0.5 * (k * _LOG2PI + logdet)
 
     def fast_step(x_pred, y_t):

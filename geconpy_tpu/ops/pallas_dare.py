@@ -85,13 +85,18 @@ def pallas_dare_settle(T, RQR, Z, H, tile: int = 128,
     reach float32 machine accuracy (3.7e-8 vs scipy solve_discrete_are on
     random dense pencils; four reach only ~1e-3).
 
-    Measured note (SW-2007, batch 512, real TPU): this kernel is at PARITY
-    with the vmapped-XLA Hewer settle, not faster — the settle is
-    matmul-bound and XLA already batches those onto the MXU; the lane
-    layout pays off only for sequential per-element ops (LU pivoting,
-    Cholesky), which is why the cycle-reduction and filter-tail kernels win
-    but this one does not.  Kept as an option (``build_batched_logpost(...,
-    settle="pallas")``) and as the measured record of that finding.
+    Measured note (SW-2007, batch 512, real TPU): this kernel LOSES to the
+    vmapped-XLA adaptive Hewer settle (51.4 vs 38.5 us/draw value+grad) —
+    the settle is matmul-bound and XLA already batches those onto the MXU;
+    the lane layout pays off only for sequential per-element ops (LU
+    pivoting, Cholesky), which is why the cycle-reduction and filter-tail
+    kernels win but this one does not.  Accuracy caveat: the schedule is
+    FIXED-length (kernels cannot early-exit per lane), so tiny-innovation
+    tail draws that need more than ``hewer_iters`` stages are silently less
+    converged than the XLA settle, which iterates adaptively and rejects
+    un-settled draws (see ops/kalman.py).  Kept as an option
+    (``build_batched_logpost(..., settle="pallas")``) and as the measured
+    record of that finding.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
