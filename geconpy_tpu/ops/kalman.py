@@ -292,21 +292,19 @@ def stationary_kalman_loglik(y, T, R, Q, Z, H, d=None, x0=None,
         x0 = jnp.zeros((n,), dtype)
     RQR = R @ Q @ R.T
 
-    # primal-only settle to the DARE fixed point: a few Riccati steps to
-    # stabilize the gain, then Hewer gain iterations — each solves the
-    # closed-loop Joseph Lyapunov equation exactly (doubling), so
-    # convergence is QUADRATIC and the implicit adjoint below sees a
-    # machine-accurate fixed point even for near-unit-root T (plain
-    # iteration converges only like rho(A_cl)^(2k))
+    # primal-only settle to the DARE fixed point: Hewer/Kleinman gain
+    # iterations, each solving the closed-loop Lyapunov equation exactly
+    # (doubling).  K = 0 is stabilizing for the stable T this path gates
+    # on, and its closed-loop Lyapunov solution is exactly the
+    # unconditional covariance, so the schedule starts from one doubling
+    # Lyapunov solve.  Convergence is globally monotone and asymptotically
+    # quadratic (Hewer 1971) — but the quadratic basin scales like
+    # lambda_min(S), so the stage count is ADAPTIVE (see _N_HEWER above)
+    # rather than a fixed handful, and the implicit adjoint below only ever
+    # sees a converged fixed point (un-settled draws are rejected).
     from .lyapunov import _doubling
 
     Ts, RQRs, Zs, Hs = (jax.lax.stop_gradient(m) for m in (T, RQR, Z, H))
-    # Hewer's iteration is globally, monotonically, QUADRATICALLY convergent
-    # from any stabilizing gain (Hewer 1971).  K = 0 is stabilizing for the
-    # stable T this path gates on, and its closed-loop Lyapunov solution is
-    # exactly the unconditional covariance — so the schedule is one doubling
-    # Lyapunov solve followed by a handful of Hewer polishes, no Riccati
-    # warm-up scan at all.
     P = _doubling(Ts, RQRs, 1e-14, 40)
 
     def hewer_stage(P):
