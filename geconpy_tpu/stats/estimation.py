@@ -133,6 +133,7 @@ def fit(
     policy: str = "xla",
     init: str = "prior",
     mass_init: str = "auto",
+    mass_matrix: str = "diag",
     order: int = 1,
     segment_size: int | None = None,
     mesh=None,
@@ -183,6 +184,14 @@ def fit(
     seeding at the mode is the difference between ESS ~5 and ESS ~200 on
     concentrated targets (see tests/stats/test_nuts.py).  Override with
     "hessian"/"unit" explicitly.
+
+    ``mass_matrix="dense"`` adapts a full covariance metric instead of a
+    diagonal one (momenta drawn from the inverse of the windowed
+    cross-chain sample covariance) — the right choice when the posterior
+    has strong parameter correlations (persistence/variance pairs), where
+    a diagonal metric forces small steps along the correlation ridge.
+    Combine with ``pooled_adaptation=True`` so the dense estimate sees
+    chains x window draws.
 
     ``policy="pallas"`` runs every chain's value+grad on the lane-batched
     Pallas cycle-reduction kernel (the sweep/benchmark hot path): the
@@ -243,6 +252,7 @@ def fit(
         logp_grad_fn=logp_grad_fn,
         mass_init=({"auto": "hessian" if init == "map" else "unit"}
                    .get(mass_init, mass_init)),
+        mass_matrix=mass_matrix,
         segment_size=segment_size, mesh=mesh)
 
     constrain_all = _constrain_all(ss_mod)

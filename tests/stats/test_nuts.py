@@ -222,3 +222,130 @@ def test_segmented_matches_single_program():
                                    np.asarray(base.step_size), rtol=1e-12)
         np.testing.assert_allclose(np.asarray(seg.diverging),
                                    np.asarray(base.diverging))
+
+
+def _band_cov(dim, rho, scales):
+    C = rho ** np.abs(np.subtract.outer(np.arange(dim), np.arange(dim)))
+    return np.asarray(scales)[:, None] * C * np.asarray(scales)[None, :]
+
+
+def test_dense_mass_recovers_full_covariance():
+    """mass_matrix='dense' + pooled adaptation on a strongly correlated
+    Gaussian: the adapted metric approximates the target covariance
+    (including off-diagonals — a diagonal metric cannot represent them)
+    and the samples reproduce the correlation structure."""
+    dim = 5
+    C = _band_cov(dim, 0.9, [2.0, 1.0, 0.5, 1.0, 2.0])
+    Cinv = jnp.asarray(np.linalg.inv(C))
+
+    def logp(q):
+        return -0.5 * q @ (Cinv @ q)
+
+    init = 0.1 * jax.random.normal(jax.random.PRNGKey(0), (16, dim))
+    res = sample_nuts(logp, init, jax.random.PRNGKey(1),
+                      num_warmup=500, num_samples=500,
+                      pooled=True, mass_matrix="dense")
+    inv_mass = np.asarray(res.inv_mass)
+    assert inv_mass.shape == (16, dim, dim)
+    M = inv_mass[0]                      # pooled: identical across chains
+    np.testing.assert_allclose(inv_mass[7], M, atol=1e-12)
+    # adapted metric ~ target covariance, off-diagonals included
+    corr_M = M / np.sqrt(np.outer(np.diag(M), np.diag(M)))
+    corr_C = C / np.sqrt(np.outer(np.diag(C), np.diag(C)))
+    np.testing.assert_allclose(corr_M, corr_C, atol=0.15)
+    # samples reproduce the covariance
+    flat = np.asarray(res.samples).reshape(-1, dim)
+    np.testing.assert_allclose(np.cov(flat.T), C, atol=0.35 * C.max())
+    assert np.asarray(res.diverging).mean() < 0.02
+
+
+def test_dense_mass_beats_diag_on_correlation_ridge():
+    """12-dim 0.99-equicorrelated Gaussian with a 100:1 scale spread: a
+    diagonal metric can equalize the scales but not the correlation, so at
+    a fixed draw budget the diag chains have not actually explored the
+    ridge (their worst marginal std is ~50% off, whatever the
+    autocorrelation-based ESS estimate claims), while the dense metric
+    whitens the target and reproduces every marginal."""
+    dim = 12
+    corr = np.full((dim, dim), 0.99)
+    np.fill_diagonal(corr, 1.0)
+    scales = np.logspace(0, 2, dim)
+    C = scales[:, None] * corr * scales[None, :]
+    Cinv = jnp.asarray(np.linalg.inv(C))
+
+    def logp(q):
+        return -0.5 * q @ (Cinv @ q)
+
+    init = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (8, dim))
+    kw = dict(num_warmup=500, num_samples=400, pooled=True)
+    res_diag = sample_nuts(logp, init, jax.random.PRNGKey(3),
+                           mass_matrix="diag", **kw)
+    res_dense = sample_nuts(logp, init, jax.random.PRNGKey(3),
+                            mass_matrix="dense", **kw)
+
+    def worst_marginal_std_relerr(res):
+        flat = np.asarray(res.samples).reshape(-1, dim)
+        return float(np.abs(flat.std(axis=0) / scales - 1).max())
+
+    err_diag = worst_marginal_std_relerr(res_diag)
+    err_dense = worst_marginal_std_relerr(res_dense)
+    assert err_dense < 0.12, err_dense
+    assert err_diag > 2.0 * err_dense, (err_diag, err_dense)
+    assert float(np.asarray(res_dense.diverging).mean()) < 0.02
+
+
+def test_dense_mass_unpooled_and_segmented():
+    """Per-chain dense adaptation works, and segmented execution is
+    bit-identical to the single-program run (same key streams)."""
+    dim = 3
+    C = _band_cov(dim, 0.8, [1.0, 0.5, 2.0])
+    Cinv = jnp.asarray(np.linalg.inv(C))
+
+    def logp(q):
+        return -0.5 * q @ (Cinv @ q)
+
+    init = 0.1 * jax.random.normal(jax.random.PRNGKey(4), (4, dim))
+    res_a = sample_nuts(logp, init, jax.random.PRNGKey(5), num_warmup=200,
+                        num_samples=150, mass_matrix="dense")
+    res_b = sample_nuts(logp, init, jax.random.PRNGKey(5), num_warmup=200,
+                        num_samples=150, mass_matrix="dense",
+                        segment_size=40)
+    np.testing.assert_array_equal(np.asarray(res_a.samples),
+                                  np.asarray(res_b.samples))
+    assert res_a.inv_mass.shape == (4, dim, dim)
+    # each chain's metric is PD
+    for c in range(4):
+        assert np.linalg.eigvalsh(np.asarray(res_a.inv_mass[c])).min() > 0
+
+
+def test_dense_mass_pooled_over_mesh():
+    """Dense metric + pooled adaptation sharded over the 8-device virtual
+    mesh: runs, converges, and produces one shared PD metric."""
+    from geconpy_tpu.parallel.mesh import make_mesh
+
+    dim = 3
+    C = _band_cov(dim, 0.9, [1.0, 1.0, 1.0])
+    Cinv = jnp.asarray(np.linalg.inv(C))
+
+    def logp(q):
+        return -0.5 * q @ (Cinv @ q)
+
+    init = 0.1 * jax.random.normal(jax.random.PRNGKey(6), (16, dim))
+    res = sample_nuts(logp, init, jax.random.PRNGKey(7), num_warmup=300,
+                      num_samples=200, pooled=True, mass_matrix="dense",
+                      mesh=make_mesh())
+    assert np.asarray(res.diverging).mean() < 0.05
+    M = np.asarray(res.inv_mass[0])
+    assert np.linalg.eigvalsh(M).min() > 0
+    corr_M = M / np.sqrt(np.outer(np.diag(M), np.diag(M)))
+    assert corr_M[0, 1] > 0.5            # learned the correlation
+
+
+def test_mass_matrix_validation():
+    def logp(q):
+        return -0.5 * jnp.sum(q**2)
+
+    init = jnp.zeros((2, 2))
+    with pytest.raises(ValueError, match="mass_matrix"):
+        sample_nuts(logp, init, jax.random.PRNGKey(0), num_warmup=10,
+                    num_samples=10, mass_matrix="banded")
