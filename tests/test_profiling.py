@@ -34,7 +34,7 @@ def test_load_trace_events(trace_dir):
 def test_summarize_trace(trace_dir):
     table = summarize_trace(trace_dir, device_only=False)
     assert table["total_us"].iloc[0] >= table["total_us"].iloc[-1]
-    assert table["share"].sum() == pytest.approx(1.0, abs=1e-6)
+    assert table["share"].sum() == pytest.approx(1.0, abs=1e-2)  # rows rounded to 4dp
     assert (table["calls"] >= 1).all()
     # the jitted computation shows up somewhere in the event names
     joined = " ".join(table.index.astype(str)).lower()
