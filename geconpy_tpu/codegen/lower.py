@@ -34,9 +34,33 @@ _FN_CACHE: dict[str, Callable] = {}
 
 
 class _Printer(JaxPrinter):
-    """JaxPrinter with short module alias and float-safe rationals."""
+    """JaxPrinter with short module alias and float-safe rationals.
+
+    Also routes the gamma/error-function family to ``jax.scipy.special`` —
+    sympy's stock ``JaxPrinter`` falls back to ``math.erf`` etc. for these,
+    which is not in the generated namespace and would not trace under jit
+    anyway (GCN priors and utility curvature terms can reference them).
+    """
 
     _module = "jnp"
+
+    def _jsp(target):
+        def _print(self, expr):
+            args = ", ".join(self._print(a) for a in expr.args)
+            return f"jax.scipy.special.{target}({args})"
+        return _print
+
+    # sympy installs `_print_erf = math.erf`-style known-function printers as
+    # class attributes, so a `_print_Function` override never sees these —
+    # each one must be shadowed by name.
+    _print_erf = _jsp("erf")
+    _print_erfc = _jsp("erfc")
+    _print_erfinv = _jsp("erfinv")
+    _print_gamma = _jsp("gamma")
+    _print_loggamma = _jsp("gammaln")
+    _print_polygamma = _jsp("polygamma")
+    _print_digamma = _jsp("digamma")
+    del _jsp
 
     def _print_Rational(self, expr):
         return f"({expr.p}/{expr.q})"
