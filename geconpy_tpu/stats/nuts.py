@@ -225,12 +225,19 @@ def nuts_kernel(logp_fn: Callable, q, logp, grad, key, step_size, inv_mass,
             ends = (jnp.mod(i + 1, 2**ms) == 0) & (ms >= 1) & (ms <= depth)
 
             def check_m(m):
-                return _is_uturn(cq[m], q1, cp[m], p1, inv_mass) \
-                    | _is_uturn(q1, cq[m], p1, cp[m], inv_mass)
+                # Orientation matters: the criterion dot(dq, p·) < 0 is NOT
+                # symmetric under swapping the endpoints (dq flips sign but
+                # the momenta don't), and OR-ing both orders is a tautology —
+                # one of ±dq·p is negative for any non-orthogonal pair, which
+                # fired "turning" at the first depth-1 extension and silently
+                # capped every trajectory at ~3 leapfrogs.  Momenta stay
+                # physically oriented under backward (eps < 0) integration,
+                # so the forward-time order of a backward-travel subtree is
+                # (current leaf) -> (subtree opener).
+                fwd = _is_uturn(cq[m], q1, cp[m], p1, inv_mass)
+                bwd = _is_uturn(q1, cq[m], p1, cp[m], inv_mass)
+                return jnp.where(direction > 0, fwd, bwd)
 
-            # orientation: for backward direction the subtree runs in
-            # negative time; the U-turn criterion is symmetric under swap, so
-            # one orientation check each way suffices
             turning_sub = jnp.any(jnp.where(
                 ends, jax.vmap(check_m)(jnp.arange(max_depth + 1)), False))
 
