@@ -111,3 +111,69 @@ def test_time_varying_parameter_path(rbc):
     # cheaper depreciation early on -> capital builds above SS then returns
     assert traj.loc[10, "K"] > ss["K_ss"]
     np.testing.assert_allclose(traj.loc[200, "K"], ss["K_ss"], rtol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# Brock-Mirman closed-form oracle: with log utility, Cobb-Douglas output and
+# full depreciation the optimal savings rate is alpha*beta for ANY
+# deterministic technology path (income and substitution effects cancel
+# exactly), so the nonlinear perfect-foresight trajectory has the closed form
+#     K[t] = alpha*beta * A[t] * K[t-1]^alpha
+#     C[t] = (1-alpha*beta) * A[t] * K[t-1]^alpha
+# — an exact anchor for the stacked-Newton solver and its timing conventions.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def brock_mirman():
+    return model_from_gcn(str(DATA / "brock_mirman.gcn"))
+
+
+def _bm_closed_form(eps_path, alpha=0.33, beta=0.96, rho=0.9, periods=None):
+    """Exact deterministic path from the steady state under eps_path."""
+    periods = periods or len(eps_path)
+    K_ss = (alpha * beta) ** (1 / (1 - alpha))
+    logA, K = 0.0, K_ss
+    rows = []
+    for t in range(periods):
+        eps = eps_path[t] if t < len(eps_path) else 0.0
+        logA = rho * logA + eps
+        A = np.exp(logA)
+        Y = A * K ** alpha
+        K = alpha * beta * Y
+        rows.append((A, Y, K, (1 - alpha * beta) * Y))
+    return np.array(rows)  # columns A, Y, K, C
+
+
+def test_brock_mirman_matches_closed_form(brock_mirman):
+    eps = np.array([0.1, 0.0, -0.05])
+    res = solve_perfect_foresight(brock_mirman, periods=120,
+                                  shocks={"epsilon": eps})
+    assert res.success
+    ref = _bm_closed_form(eps, periods=120)
+    traj = res.trajectory.iloc[1:-1]  # drop boundary rows
+    np.testing.assert_allclose(traj["A"].to_numpy(), ref[:, 0], atol=1e-7)
+    np.testing.assert_allclose(traj["Y"].to_numpy(), ref[:, 1], atol=1e-7)
+    np.testing.assert_allclose(traj["K"].to_numpy(), ref[:, 2], atol=1e-7)
+    np.testing.assert_allclose(traj["C"].to_numpy(), ref[:, 3], atol=1e-7)
+
+
+def test_brock_mirman_anticipated_shock_no_leakage(brock_mirman):
+    """A news shock at t=5 (known from t=0) must leave the path EXACTLY at
+    the steady state until it hits: the constant-savings-rate closed form
+    holds for anticipated paths too, so any pre-shock deviation means the
+    solver leaks future information through a timing bug."""
+    eps = np.zeros(8)
+    eps[5] = 0.08
+    res = solve_perfect_foresight(brock_mirman, periods=100,
+                                  shocks={"epsilon": eps})
+    assert res.success
+    ref = _bm_closed_form(eps, periods=100)
+    traj = res.trajectory.iloc[1:-1]
+    K_ss = (0.33 * 0.96) ** (1 / (1 - 0.33))
+    # flat at the steady state before the news arrives...
+    np.testing.assert_allclose(traj["K"].to_numpy()[:5], K_ss, atol=1e-8)
+    # ...and on the closed form afterwards (1e-6: Newton stops on the
+    # residual at tol=1e-8; the path error passes through the Jacobian's
+    # conditioning)
+    np.testing.assert_allclose(traj["K"].to_numpy(), ref[:, 2], atol=1e-6)
+    np.testing.assert_allclose(traj["C"].to_numpy(), ref[:, 3], atol=1e-6)
