@@ -220,27 +220,87 @@ def cyclostationary_kalman_loglik(y, T, R, Q, Z, H, d=None, x0=None,
     Ts, RQRs, Zs_s, Hs_s = (jax.lax.stop_gradient(a)
                             for a in (T, RQR, Z_stack, H_stack))
 
+    # start at the OPEN-LOOP unconditional phase-0 covariance (one-cycle
+    # monodromy T^p with the noise accumulated over a cycle, solved exactly
+    # by doubling) — the cyclic analog of the stationary settle's K = 0
+    # start.  P_uncond >= P* so exact Riccati cycles decrease monotonically
+    # and every derived gain is stabilizing (Hewer's theorem applies down
+    # the whole chain); starting from an arbitrary PSD matrix (e.g. RQR)
+    # can produce a DEstabilizing gain whose closed-loop Lyapunov solve
+    # blows up even when T itself is stable (measured: rho(A_cyc) = 1.18
+    # from rho(T) = 0.97).
+    def ol_body(j, carry):
+        A_ol, G_ol = carry
+        return (Ts @ A_ol, Ts @ G_ol @ Ts.T + RQRs)
+
+    A_ol, G_ol = jax.lax.fori_loop(
+        0, p, ol_body,
+        (jnp.eye(n, dtype=dtype), jnp.zeros((n, n), dtype)))
+    P_try = _doubling(A_ol, 0.5 * (G_ol + G_ol.T), 1e-14, 40)
+    # unstable-but-detectable T has no open-loop covariance (the doubling
+    # diverges) yet the periodic DARE still has a stabilizing solution: fall
+    # back to the RQR start there — the exact Riccati warmup cycles
+    # stabilize it, and the Hewer fallback below keeps progress honest
+    P_uncond = jnp.where(jnp.all(jnp.isfinite(P_try)),
+                         0.5 * (P_try + P_try.T), RQRs)
+
     def settle_cycle(P, _):
         return _cycle_map(P, Ts, RQRs, Zs_s, Hs_s), None
 
-    P0, _ = jax.lax.scan(settle_cycle, RQRs, None, length=max(n_settle, 1))
+    P0, _ = jax.lax.scan(settle_cycle, P_uncond, None,
+                         length=max(n_settle, 1))
 
     # cyclic Hewer polish: with gains frozen at the current cycle, the
     # closed-loop covariance over one cycle is linear — solve it exactly by
     # doubling, then re-derive gains; quadratically convergent.
-    def hewer(P, _):
+    def hewer(P):
         A_cyc, G_cyc = _cycle_closed_loop(P, Ts, RQRs, Zs_s, Hs_s)
         P_new = _doubling(A_cyc, G_cyc, 1e-14, 40)
         ok = jnp.all(jnp.isfinite(P_new))
-        return jnp.where(ok, 0.5 * (P_new + P_new.T), P), None
+        # a failed stage falls back to ONE exact Riccati cycle (same fixed
+        # point, guaranteed progress) — keeping the previous iterate would
+        # freeze P and read as a zero update, i.e. a FALSE convergence
+        # signal to the adaptive stop below
+        return jnp.where(ok, 0.5 * (P_new + P_new.T),
+                         _cycle_map(P, Ts, RQRs, Zs_s, Hs_s))
 
-    # 8 polishes, not 4: with tiny innovation covariances (no measurement
-    # error) the Newton/Kleinman quadratic basin shrinks like the smallest
-    # eigenvalue of S, and the iteration grinds linearly (~x0.2/stage)
-    # before the quadratic endgame — measured on SW-2007, 4 stages leave an
-    # O(10) log-likelihood bias while 8 are at the fixed point (see
-    # tests/ops/test_stationary_kalman.py::test_settle_unbiased_tiny_innovations)
-    P0, _ = jax.lax.scan(hewer, P0, None, length=8)
+    # ADAPTIVE stage count, mirroring ops/kalman.py's stationary settle:
+    # with tiny innovation covariances (no measurement error) the
+    # Newton/Kleinman quadratic basin shrinks like the smallest eigenvalue
+    # of S and the iteration grinds linearly before the quadratic endgame —
+    # a FIXED count is silently biased on ill-conditioned draws (the SW-2007
+    # bug class; see tests/ops/test_cyclo_kalman.py::
+    # test_cyclic_settle_unbiased_tiny_innovations).  Four unconditional
+    # stages, then continuation until the one-cycle-map update hits the
+    # dtype's noise floor (a few eps of |P|, or a plateau while already
+    # <= sqrt(eps) |P|); draws whose settle never converges — or whose
+    # iterates went non-finite — are rejected as -inf below.
+    for _ in range(4):
+        P0 = hewer(P0)
+
+    eps = float(np.finfo(np.dtype(dtype)).eps)
+    rtol_hard = 5.0 * eps
+    rtol_soft = float(np.sqrt(eps))
+    extra_cap = 12
+
+    def cont_cond(state):
+        _, _, it, _, stop = state
+        return (~stop) & (it < extra_cap)
+
+    def cont_body(state):
+        P, prev_delta, it, _, _ = state
+        P_new = hewer(P)
+        delta = jnp.max(jnp.abs(P_new - P))
+        scale = jnp.max(jnp.abs(P_new))
+        plateau = (delta >= 0.5 * prev_delta) & (delta <= rtol_soft * scale)
+        finite = jnp.isfinite(delta)
+        settled = finite & ((delta <= rtol_hard * scale) | plateau)
+        return (P_new, delta, it + 1, settled, settled | ~finite)
+
+    P0, _, _, settled, _ = jax.lax.while_loop(
+        cont_cond, cont_body,
+        (P0, jnp.asarray(jnp.inf, dtype), jnp.asarray(0),
+         jnp.asarray(False), jnp.asarray(False)))
     P0 = _implicit_cyclic_dare_P(T, RQR, Z_stack, H_stack, P0)
 
     # ---- differentiable per-phase frozen-gain quantities from P0
@@ -288,4 +348,8 @@ def cyclostationary_kalman_loglik(y, T, R, Q, Z, H, d=None, x0=None,
 
     _, ll_t = jax.lax.scan(fast_step, jnp.asarray(x0, dtype), (y_eff, phase))
     ll = jnp.sum(ll_t)
-    return jnp.where(jnp.isfinite(ll), ll, -jnp.inf)
+    # an un-settled periodic fixed point would yield a silently biased
+    # likelihood (and the implicit adjoint would be evaluated off the fixed
+    # point, biasing gradients) — reject the draw instead
+    return jnp.where(settled & jnp.isfinite(ll), ll,
+                     jnp.asarray(-jnp.inf, ll.dtype))

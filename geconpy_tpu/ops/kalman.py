@@ -30,8 +30,9 @@ from .precision import highest_precision
 from .tolerances import success_tol
 
 # Hewer stage schedule for the stationary settle: _N_HEWER unconditional
-# stages, then up to _N_HEWER_EXTRA more until successive iterates agree to
-# _HEWER_RTOL_EPS machine epsilons (the dtype's noise floor).  Hewer's
+# stages, then adaptive extra stages (capped by the caller's ``n_settle``
+# total) until successive iterates agree to _HEWER_RTOL_EPS machine epsilons
+# (the dtype's noise floor).  Hewer's
 # iteration is globally convergent and asymptotically quadratic (Hewer
 # 1971), but with tiny innovation covariances (no measurement error) the
 # quadratic basin shrinks like the smallest eigenvalue of S = Z P Zᵀ + H
@@ -41,7 +42,6 @@ from .tolerances import success_tol
 # and a fixed safe count wastes stages on well-conditioned models.  See
 # tests/ops/test_stationary_kalman.py::test_settle_unbiased_tiny_innovations.
 _N_HEWER = 4
-_N_HEWER_EXTRA = 12
 _HEWER_RTOL_EPS = 5.0
 
 __all__ = ["KalmanFilterResult", "KalmanSmootherResult", "kalman_filter",
@@ -196,6 +196,26 @@ def _dare_step(P, T, RQR, Z, H):
 
 
 @highest_precision
+def dare_residual_settled(T, RQR, Z, H, P):
+    """Convergence check for an externally-produced DARE iterate ``P``.
+
+    True when one Riccati step moves ``P`` by no more than the dtype's soft
+    noise floor (sqrt(eps) of |P| — the same threshold the adaptive settle
+    accepts a plateau at), and the step stayed finite.  Used to gate the
+    fixed-length Pallas settle (``ops/pallas_dare.py``), whose Mosaic kernel
+    cannot early-exit per lane: un-settled lanes must be rejected as -inf,
+    never returned silently biased.
+    """
+    import numpy as np
+
+    P1 = _dare_step(P, T, RQR, Z, H)
+    delta = jnp.max(jnp.abs(P1 - P))
+    scale = jnp.max(jnp.abs(P))
+    rtol = float(np.sqrt(np.finfo(np.dtype(P.dtype)).eps))
+    return jnp.isfinite(delta) & (delta <= rtol * scale)
+
+
+@highest_precision
 def _stein_adjoint(A_cl, G, iters: int = 30):
     """W = Σ_k (A_clᵀ)^k G (A_cl)^k by Smith doubling with early exit —
     the adjoint of the DARE's Fréchet derivative dP⁺ = A_cl dP A_clᵀ."""
@@ -273,6 +293,12 @@ def stationary_kalman_loglik(y, T, R, Q, Z, H, d=None, x0=None,
     - the constant-gain scan is linear, so its autodiff transpose is one
       cheap backward matvec scan.
 
+    ``n_settle`` caps the TOTAL number of Hewer stages: after the ``_N_HEWER``
+    unconditional stages, up to ``n_settle - _N_HEWER`` (at least one) extra
+    adaptive stages run until successive iterates agree at the dtype's noise
+    floor.  Draws whose settle has not converged within the cap — or whose
+    iterates went non-finite — are rejected as -inf, never returned biased.
+
     Requires fully observed data (no NaN).  Role: the value+grad estimation
     hot path (NUTS); the reference's counterpart is the pytensor scan filter
     whose gradient unrolls every step.
@@ -314,9 +340,13 @@ def stationary_kalman_loglik(y, T, R, Q, Z, H, d=None, x0=None,
         A_cl = Ts - Kp @ Zs
         Qc = RQRs + Kp @ Hs @ Kp.T
         P_new = _doubling(A_cl, 0.5 * (Qc + Qc.T), 1e-14, 30)
-        # guard: keep the previous iterate if the Lyapunov solve blew up
+        # a blown-up Lyapunov solve falls back to ONE exact Riccati step
+        # (same fixed point, guaranteed progress): keeping the previous
+        # iterate would freeze P, and the adaptive stop below would read
+        # the zero update as convergence — a silently biased likelihood
         ok = jnp.all(jnp.isfinite(P_new))
-        return jnp.where(ok, 0.5 * (P_new + P_new.T), P)
+        return jnp.where(ok, 0.5 * (P_new + P_new.T),
+                         _dare_step(P, Ts, RQRs, Zs, Hs))
 
     # unrolled floor (the trip count is a static handful — a lax.scan here
     # spends more on its carry's dynamic-update-slices than on the math at
@@ -339,23 +369,30 @@ def stationary_kalman_loglik(y, T, R, Q, Z, H, d=None, x0=None,
     eps = float(np.finfo(np.dtype(dtype)).eps)
     rtol_hard = _HEWER_RTOL_EPS * eps
     rtol_soft = float(np.sqrt(eps))
+    # n_settle is the total stage cap (floor stages included); always allow
+    # at least one adaptive stage so `settled` is a measured fact
+    extra_cap = max(1, int(n_settle) - _N_HEWER)
 
     def cond(state):
-        _, _, it, done = state
-        return (~done) & (it < _N_HEWER_EXTRA)
+        _, _, it, _, stop = state
+        return (~stop) & (it < extra_cap)
 
     def body(state):
-        P, prev_delta, it, _ = state
+        P, prev_delta, it, _, _ = state
         P_new = hewer_stage(P)
         delta = jnp.max(jnp.abs(P_new - P))
         scale = jnp.max(jnp.abs(P_new))
         plateau = (delta >= 0.5 * prev_delta) & (delta <= rtol_soft * scale)
-        done = (delta <= rtol_hard * scale) | plateau | ~jnp.isfinite(delta)
-        return (P_new, delta, it + 1, done)
+        finite = jnp.isfinite(delta)
+        # a non-finite delta exits the loop but is NOT settled — the draw is
+        # rejected as -inf below (failure = flags, never NaN)
+        settled = finite & ((delta <= rtol_hard * scale) | plateau)
+        return (P_new, delta, it + 1, settled, settled | ~finite)
 
-    P, _, _, settled = jax.lax.while_loop(
+    P, _, _, settled, _ = jax.lax.while_loop(
         cond, body,
-        (P, jnp.asarray(jnp.inf, dtype), jnp.asarray(0), jnp.asarray(False)))
+        (P, jnp.asarray(jnp.inf, dtype), jnp.asarray(0),
+         jnp.asarray(False), jnp.asarray(False)))
 
     ll = stationary_loglik_from_P(y, T, RQR, Z, H, d, jnp.asarray(x0, dtype),
                                   P)

@@ -86,17 +86,17 @@ def pallas_dare_settle(T, RQR, Z, H, tile: int = 128,
     random dense pencils; four reach only ~1e-3).
 
     Measured note (SW-2007, batch 512, real TPU): this kernel LOSES to the
-    vmapped-XLA adaptive Hewer settle (51.4 vs 38.5 us/draw value+grad) —
+    vmapped-XLA adaptive Hewer settle (51.4 vs ~41 us/draw value+grad) —
     the settle is matmul-bound and XLA already batches those onto the MXU;
     the lane layout pays off only for sequential per-element ops (LU
     pivoting, Cholesky), which is why the cycle-reduction and filter-tail
-    kernels win but this one does not.  Accuracy caveat: the schedule is
-    FIXED-length (kernels cannot early-exit per lane), so tiny-innovation
-    tail draws that need more than ``hewer_iters`` stages are silently less
-    converged than the XLA settle, which iterates adaptively and rejects
-    un-settled draws (see ops/kalman.py).  Kept as an option
-    (``build_batched_logpost(..., settle="pallas")``) and as the measured
-    record of that finding.
+    kernels win but this one does not.  Accuracy: the schedule is
+    FIXED-length (Mosaic kernels cannot early-exit per lane), so the caller
+    (``stats/statespace.py::build_batched_logpost(..., settle="pallas")``)
+    verifies convergence OUTSIDE the kernel — one Riccati-step residual per
+    lane against the dtype's noise floor — and rejects un-settled lanes as
+    -inf, the same contract as the adaptive XLA settle (ops/kalman.py).
+    Kept as an option and as the measured record of that finding.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu

@@ -974,11 +974,12 @@ class DSGEStateSpace:
         (``ops/pallas_dare.py``) — gradients re-attach at the fixed point
         through the implicit DARE adjoint, so the kernel needs no backward
         pass.  Measured on SW-2007 at batch 512 the kernel LOSES to the
-        default ``settle="xla"`` adaptive Hewer settle (51.4 vs 38.5
+        default ``settle="xla"`` adaptive Hewer settle (51.4 vs ~41
         us/draw: the settle is matmul-bound, which XLA already batches onto
         the MXU; lane layout only wins over sequential per-element ops like
-        LU pivoting), and its fixed-length schedule cannot early-exit or
-        reject un-settled tail draws, so XLA is the default.
+        LU pivoting), and its fixed-length schedule cannot early-exit per
+        lane — convergence is checked outside the kernel and un-settled
+        lanes rejected as -inf — so XLA is the default.
 
         The Kalman likelihood is otherwise the configured XLA filter
         (differentiated by autodiff), identical math to
@@ -1011,11 +1012,12 @@ class DSGEStateSpace:
                              jnp.asarray(-jnp.inf, dtype))
 
         if use_pallas_dare:
-            from ..ops.kalman import stationary_loglik_from_P
+            from ..ops.kalman import (dare_residual_settled,
+                                      stationary_loglik_from_P)
             from ..ops.pallas_dare import pallas_dare_settle
 
             @highest_precision
-            def per_draw_ll_P(sol, RQR, P):
+            def per_draw_ll_P(sol, RQR, P, settled):
                 dtype = sol["T_aug"].dtype
                 n = sol["T_aug"].shape[0]
                 loglik = stationary_loglik_from_P(
@@ -1023,7 +1025,7 @@ class DSGEStateSpace:
                     sol["d"], jnp.zeros((n,), dtype), P)
                 logprior = sol["logprior"]
                 ok = sol["ss_success"] & sol["solver_success"] \
-                    & sol["stable"] & jnp.isfinite(loglik) \
+                    & sol["stable"] & settled & jnp.isfinite(loglik) \
                     & jnp.isfinite(logprior)
                 return jnp.where(ok, loglik + logprior,
                                  jnp.asarray(-jnp.inf, dtype))
@@ -1038,7 +1040,13 @@ class DSGEStateSpace:
                 P_b = pallas_dare_settle(sg(sol["T_aug"]), sg(RQR),
                                          sg(sol["Z"]), sg(sol["H"]),
                                          tile=cr_tile, interpret=interpret)
-                return jax.vmap(per_draw_ll_P)(sol, RQR, P_b)
+                # the fixed-length kernel cannot early-exit per lane, so
+                # convergence is verified outside and un-settled lanes are
+                # rejected as -inf (never silently biased)
+                settled = jax.vmap(dare_residual_settled)(
+                    sg(sol["T_aug"]), sg(RQR), sg(sol["Z"]), sg(sol["H"]),
+                    P_b)
+                return jax.vmap(per_draw_ll_P)(sol, RQR, P_b, settled)
 
             return batched
 

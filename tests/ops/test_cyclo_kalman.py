@@ -66,10 +66,14 @@ def simulate(T, R, Q, Z, H, d, periods, seed=1):
 def periodic_fixed_point(T, R, Q, Z, H, pattern, n_cycles=200):
     RQR = R @ Q @ R.T
     _, Z_stack, H_stack = _phase_matrices(Z, H, jnp.asarray(pattern))
-    P = RQR
-    for _ in range(n_cycles):
-        P = _cycle_map(P, T, RQR, Z_stack, H_stack)
-    return P
+
+    @jax.jit
+    def run(P):
+        return jax.lax.fori_loop(
+            0, n_cycles,
+            lambda _, P: _cycle_map(P, T, RQR, Z_stack, H_stack), P)
+
+    return run(RQR)
 
 
 def seed_covariance_for_exact_filter(T, R, Q, Z, H, pattern, P0_star):
@@ -198,3 +202,106 @@ def test_unstable_but_detectable_is_finite():
         jnp.asarray(y), T * 1.2, R, Q, Z, H, d=d,
         mask_pattern=np.array([[True, True]]))
     assert np.isfinite(float(ll))
+
+
+def test_cyclic_settle_unbiased_tiny_innovations():
+    """The SW-2007 settle bug class, periodic-mask edition.  The old cyclic
+    settle had TWO silent-bias modes: (a) a FIXED Hewer stage count with no
+    convergence check, and (b) a keep-previous-iterate guard on failed
+    Lyapunov solves — from a poor start (P = RQR) the derived gain can be
+    DEstabilizing even for stable T (measured rho(A_cyc) = 1.18 at
+    rho(T) = 0.97), the inner doubling blows up, P freezes, and a zero
+    update masquerades as convergence.  The fixed settle (open-loop
+    unconditional start + adaptive continuation + Riccati fallback) must
+    reach the true periodic fixed point: its frozen-gain likelihood has to
+    match the exact masked filter seeded on a brute-force-converged cycle,
+    even with the warmup starved to one cycle (n_settle=1)."""
+    key = jax.random.PRNGKey(21)
+    k1, k2, k3 = jax.random.split(key, 3)
+    n, k = 8, 3
+    T = 0.97 * jax.random.orthogonal(k1, n)
+    R = jax.random.normal(k2, (n, k)) / np.sqrt(k)
+    Q = jnp.diag(jnp.asarray([1e-2, 2e-3, 5e-4]) ** 2)
+    Z = jax.random.normal(k3, (k, n)) / np.sqrt(n)
+    H = jnp.zeros((k, k))          # no measurement error
+    d = jnp.zeros((k,))
+    pattern = np.array([[True, True, True], [True, False, True]])  # p = 2
+    periods = 120
+    y = simulate(T, R, Q * 1e-12, Z, jnp.eye(k) * 1e-18, d, periods, seed=22)
+    mask = np.tile(pattern, (periods // 2, 1))
+    y_nan = jnp.asarray(np.where(mask, y, np.nan))
+
+    # brute-force periodic fixed point + residual sanity
+    P_star = periodic_fixed_point(T, R, Q, Z, H, pattern, n_cycles=4000)
+    RQR = R @ Q @ R.T
+    _, Z_stack, H_stack = _phase_matrices(Z, H, jnp.asarray(pattern))
+    resid = float(jnp.max(jnp.abs(
+        _cycle_map(P_star, T, RQR, Z_stack, H_stack) - P_star)))
+    assert resid < 1e-8 * float(jnp.max(jnp.abs(P_star)))
+
+    P0_seed = seed_covariance_for_exact_filter(T, R, Q, Z, H, pattern, P_star)
+    ll_ref = float(kalman_filter(y_nan, T, R, Q, Z, H, d=d,
+                                 P0=P0_seed).loglik)
+    assert np.isfinite(ll_ref)
+    for n_settle in (1, 16):
+        ll_cyclo = float(cyclostationary_kalman_loglik(
+            y_nan, T, R, Q, Z, H, d=d, mask_pattern=pattern,
+            n_settle=n_settle))
+        np.testing.assert_allclose(ll_cyclo, ll_ref, rtol=1e-6,
+                                   atol=1e-6 * abs(ll_ref),
+                                   err_msg=f"n_settle={n_settle}")
+
+    # guard that the fixture actually exercises the bug: the OLD schedule
+    # with the same starved warmup (start at RQR, 1 warmup cycle, 8 fixed
+    # Hewer stages with the keep-previous freeze) IS badly biased here —
+    # if this ever passes, the fixture no longer regresses anything
+    from geconpy_tpu.ops.cyclo_kalman import _cycle_closed_loop
+    from geconpy_tpu.ops.lyapunov import _doubling
+
+    P_fixed = _cycle_map(RQR, T, RQR, Z_stack, H_stack)
+    for _ in range(8):
+        A_cyc, G_cyc = _cycle_closed_loop(P_fixed, T, RQR, Z_stack, H_stack)
+        P_new = _doubling(A_cyc, G_cyc, 1e-14, 40)
+        ok = bool(jnp.all(jnp.isfinite(P_new)))
+        if ok:
+            P_fixed = 0.5 * (P_new + P_new.T)
+    P_seed_fixed = seed_covariance_for_exact_filter(
+        T, R, Q, Z, H, pattern, P_fixed)
+    ll_fixed = float(kalman_filter(y_nan, T, R, Q, Z, H, d=d,
+                                   P0=P_seed_fixed).loglik)
+    assert not np.isfinite(ll_fixed) or abs(ll_fixed - ll_ref) > 0.1, (
+        "fixture no longer ill-conditioned enough to regress the settle")
+
+
+def test_cyclic_settle_rejects_nonconvergent_as_neg_inf():
+    """A draw whose cyclic settle cannot converge within the stage cap must
+    be rejected as -inf (failure = flags, never a silently biased value)."""
+    key = jax.random.PRNGKey(33)
+    k1, k2, k3 = jax.random.split(key, 3)
+    n, k = 8, 3
+    T = 0.97 * jax.random.orthogonal(k1, n)
+    R = jax.random.normal(k2, (n, k)) / np.sqrt(k)
+    # separations of 1e-8+ need more stages than the cap allows (same
+    # boundary the stationary settle documents)
+    Q = jnp.diag(jnp.asarray([1e-2, 1e-8, 1e-10]) ** 2)
+    Z = jax.random.normal(k3, (k, n)) / np.sqrt(n)
+    H = jnp.zeros((k, k))
+    d = jnp.zeros((k,))
+    pattern = np.array([[True, True, True], [True, False, True]])
+    periods = 60
+    y = simulate(T, R, Q * 1e-12, Z, jnp.eye(k) * 1e-18, d, periods, seed=34)
+    mask = np.tile(pattern, (periods // 2, 1))
+    y_nan = jnp.asarray(np.where(mask, y, np.nan))
+    ll = float(cyclostationary_kalman_loglik(
+        y_nan, T, R, Q, Z, H, d=d, mask_pattern=pattern))
+    # either the settle genuinely converged (fine) or the draw was rejected;
+    # a NaN or a silently biased finite value are the failure modes
+    assert not np.isnan(ll)
+    if np.isfinite(ll):
+        P_star = periodic_fixed_point(T, R, Q, Z, H, pattern, n_cycles=6000)
+        P0_seed = seed_covariance_for_exact_filter(
+            T, R, Q, Z, H, pattern, P_star)
+        ll_ref = float(kalman_filter(y_nan, T, R, Q, Z, H, d=d,
+                                     P0=P0_seed).loglik)
+        np.testing.assert_allclose(ll, ll_ref, rtol=1e-5,
+                                   atol=1e-5 * abs(ll_ref))

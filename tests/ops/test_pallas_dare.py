@@ -51,3 +51,40 @@ def test_padding_lanes_isolated():
     P4 = pallas_dare_settle(T[:4], RQR[:4], Z[:4], H[:4], tile=4,
                             interpret=True)
     np.testing.assert_allclose(np.asarray(P5[:4]), np.asarray(P4), rtol=1e-10)
+
+
+def test_residual_gate_flags_unsettled_lanes():
+    """The kernel's schedule is fixed-length, so convergence is verified
+    outside by ``dare_residual_settled`` (ADVICE round 4): a converged lane
+    passes, a deliberately under-iterated ill-conditioned lane is flagged
+    so the statespace layer rejects it as -inf."""
+    from geconpy_tpu.ops.kalman import dare_residual_settled
+
+    # well-conditioned batch, full schedule: every lane settles
+    T, RQR, Z, H = make_batch(B=4, seed=3, rho=0.95)
+    P = pallas_dare_settle(T, RQR, Z, H, tile=4, interpret=True)
+    ok = jax.vmap(dare_residual_settled)(T, RQR, Z, H, P)
+    assert bool(jnp.all(ok))
+
+    # ill-conditioned (tiny-innovation, H = 0) lane with a starved schedule:
+    # the residual gate must flag it
+    key = jax.random.PRNGKey(5)
+    k1, k2, k3 = jax.random.split(key, 3)
+    n, k = 8, 3
+    Ti = (0.97 * jax.random.orthogonal(k1, n))[None]
+    Ri = jax.random.normal(k2, (n, k)) / np.sqrt(k)
+    Qi = jnp.diag(jnp.asarray([1e-2, 2e-3, 5e-4]) ** 2)
+    RQRi = (Ri @ Qi @ Ri.T)[None]
+    Zi = (jax.random.normal(k3, (k, n)) / np.sqrt(n))[None]
+    Hi = jnp.zeros((1, k, k))
+    P_starved = pallas_dare_settle(Ti, RQRi, Zi, Hi, tile=1, hewer_iters=1,
+                                   interpret=True)
+    ok_starved = jax.vmap(dare_residual_settled)(Ti, RQRi, Zi, Hi, P_starved)
+    assert not bool(ok_starved[0])
+
+    # the full schedule on the same lane settles (so the gate is not just
+    # rejecting everything ill-conditioned)
+    P_full = pallas_dare_settle(Ti, RQRi, Zi, Hi, tile=1, hewer_iters=12,
+                                interpret=True)
+    ok_full = jax.vmap(dare_residual_settled)(Ti, RQRi, Zi, Hi, P_full)
+    assert bool(ok_full[0])

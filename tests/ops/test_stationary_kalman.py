@@ -224,3 +224,42 @@ def test_settle_unbiased_tiny_innovations():
         y, T, RQR, Z, H, d, jnp.zeros((n,)), P4))
     assert abs(ll_4 - ll_ref) > 0.1, (
         "fixture no longer ill-conditioned enough to regress the settle")
+
+
+def test_n_settle_caps_adaptive_stages():
+    """n_settle is the TOTAL Hewer stage cap: a cap too small for an
+    ill-conditioned draw rejects it as -inf instead of returning a biased
+    value; a generous cap converges (ADVICE round 4: the parameter used to
+    be silently ignored)."""
+    key = jax.random.PRNGKey(7)
+    k1, k2, k3 = jax.random.split(key, 3)
+    n, k = 8, 3
+    T = 0.97 * jax.random.orthogonal(k1, n)
+    R = jax.random.normal(k2, (n, k)) / np.sqrt(k)
+    Q = jnp.diag(jnp.asarray([1e-2, 2e-3, 5e-4]) ** 2)
+    Z = jax.random.normal(k3, (k, n)) / np.sqrt(n)
+    H = jnp.zeros((k, k))
+    d = jnp.zeros((k,))
+    y = _simulate(jax.random.PRNGKey(8), T, R, Q, Z, jnp.eye(k) * 1e-18,
+                  periods=150)
+
+    ll_wide = float(stationary_kalman_loglik(y, T, R, Q, Z, H, d=d,
+                                             n_settle=32))
+    assert np.isfinite(ll_wide)
+    # a cap of 5 total stages (= 4 floor + 1 adaptive) cannot settle this
+    # fixture — it needs ~8-10 stages (see the bias test above) — so the
+    # draw must be REJECTED, not returned with an O(1)+ bias
+    ll_tight = float(stationary_kalman_loglik(y, T, R, Q, Z, H, d=d,
+                                              n_settle=5))
+    assert ll_tight == -np.inf
+
+
+def test_nonfinite_settle_rejected_as_neg_inf_not_nan():
+    """NaN inputs must flow out as -inf, never NaN (failure = flags): a
+    non-finite Hewer delta exits the settle loop UN-settled."""
+    key = jax.random.PRNGKey(11)
+    T, R, Q, Z, H, d = _random_system(key)
+    y = _simulate(jax.random.PRNGKey(12), T, R, Q, Z, H, periods=40)
+    T_bad = T.at[0, 0].set(jnp.nan)
+    ll = float(stationary_kalman_loglik(y, T_bad, R, Q, Z, H, d=d))
+    assert ll == -np.inf
