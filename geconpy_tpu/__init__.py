@@ -8,6 +8,8 @@ estimation, with vmap over parameter draws and shard_map over device meshes.
 
 __version__ = "0.1.0"
 
+import os as _os
+
 from .analysis.dynare import make_mod_file
 from .analysis.occbin import OccbinResult, solve_occbin
 from .analysis.perfect_foresight import PerfectForesightResult, solve_perfect_foresight
@@ -43,8 +45,15 @@ from .stats.sampling import (
 )
 from .stats.statespace import DSGEStateSpace, data_from_prior, statespace_from_gcn
 from .symbolic import SteadyStateResults, SymbolDictionary, TimeAwareSymbol
+from .utils.compile_cache import enable_persistent_cache, persistent_cache_enabled
 from .utils.formatting import matrix_to_dataframe
 from .utils.reporting import print_gcn_file, print_steady_state
+
+# env config tier: GECONPY_TPU_CACHE_DIR turns on the persistent (on-disk,
+# cross-process) XLA compilation cache at import — warm processes then
+# deserialize the multi-minute estimation executables instead of recompiling
+if _os.environ.get("GECONPY_TPU_CACHE_DIR"):
+    enable_persistent_cache()
 
 
 def get_example_gcn(name: str = "rbc") -> str:
@@ -97,6 +106,8 @@ __all__ = [
     "check_steady_state",
     "data_from_prior",
     "eigenvalue_sensitivity",
+    "enable_persistent_cache",
+    "persistent_cache_enabled",
     "matrix_to_dataframe",
     "prepare_mixed_frequency_data",
     "print_gcn_file",

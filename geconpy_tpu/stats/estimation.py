@@ -137,6 +137,7 @@ def fit(
     order: int = 1,
     segment_size: int | None = None,
     mesh=None,
+    cache_dir: str | None = None,
 ) -> PosteriorResult:
     """Sample the posterior with vmapped device-side NUTS chains.
 
@@ -198,7 +199,19 @@ def fit(
     chains' logpost evaluations, which run in lockstep under vmap, are
     routed through one batched forward + one analytic-adjoint backward per
     NUTS step via ``jax.custom_batching.custom_vmap``.  Most effective with
-    many chains (>= one 128-lane kernel tile)."""
+    many chains (>= one 128-lane kernel tile).
+
+    ``cache_dir`` enables XLA's PERSISTENT (on-disk, cross-process)
+    compilation cache at that directory before anything compiles — a warm
+    first fit in a fresh process then deserializes the multi-minute NUTS
+    executables instead of recompiling them (the in-process caches already
+    make repeat fits free; this extends that to process restarts).  Also
+    available via the ``GECONPY_TPU_CACHE_DIR`` env var, which enables the
+    cache at import time (``utils/compile_cache.py``)."""
+    if cache_dir is not None:
+        from ..utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache(cache_dir)
     if order == 2:
         if policy != "xla":
             raise ValueError("order=2 estimation requires policy='xla' "
