@@ -9,7 +9,7 @@ ALL_MODELS = ["rbc", "rbc_no_ss", "rbc_estimation", "nk_3eq", "nk_full",
               "nk_sw", "rbc_two_agent", "open_rbc", "rbc_ces", "baxter_king",
               "rbc_skilled_unskilled", "rbc_tank", "nk_money_growth",
               "nk_taxes", "nk_calvo", "sw2007", "brock_mirman",
-              "nk_rotemberg", "rbc_iac", "nk_soe"]
+              "nk_rotemberg", "rbc_iac", "nk_soe", "burnside"]
 
 # cycle reduction needs a nonsingular reduced B pencil; rbc_tank's
 # aggregation identities violate that, so it solves via gensys only

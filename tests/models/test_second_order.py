@@ -356,3 +356,142 @@ def test_quadratic_sylvester_adjoint_matches_fd():
             fd = (fp - fm) / (2 * eps)
             assert abs(g[idx] - fd) < 1e-5 * max(1.0, abs(fd)), \
                 (ai, idx, g[idx], fd)
+
+
+# ---------------------------------------------------------------------------
+# External oracle #2: Burnside (1998, JEDC) closed-form asset pricing.
+# Brock-Mirman pins the quadratic state blocks but its exact policy is
+# variance-free (g_ss = 0 identically), so it cannot detect an error in the
+# uncertainty correction.  Burnside's lognormal endowment economy has the
+# exact solution  y(x, sigma) = sum_i beta^i exp(a_i + b_i (x - xbar))  with
+# the sigma^2 term appearing in a_i — every perturbation coefficient,
+# INCLUDING g_ss, is an independent published geometric sum.
+
+
+def _burnside_sums(beta, theta, rho, xbar, n_terms=4000):
+    i = np.arange(1, n_terms + 1)
+    q = beta * np.exp(theta * xbar)
+    b = theta * rho * (1 - rho ** i) / (1 - rho)
+    c = q ** i
+    v = (theta ** 2 / (2 * (1 - rho) ** 2)) * (
+        i - 2 * rho * (1 - rho ** i) / (1 - rho)
+        + rho ** 2 * (1 - rho ** (2 * i)) / (1 - rho ** 2))
+    return {
+        "y_ss": q / (1 - q),
+        "S1": float(np.sum(c * b)),          # dy/dx at (xbar, sigma=0)
+        "S2": float(np.sum(c * b * b)),      # d2y/dx2
+        "Sv": float(np.sum(c * v)),          # dy/d(sigma^2)
+    }
+
+
+@pytest.fixture(scope="module")
+def burnside():
+    return geconpy_tpu.model_from_gcn(
+        geconpy_tpu.get_example_gcn("burnside"), verbose=False)
+
+
+def test_burnside_first_order_matches_closed_form(burnside):
+    beta, theta, rho, xbar = 0.95, -1.5, -0.139, 0.0179
+    ex = _burnside_sums(beta, theta, rho, xbar)
+    sol = burnside.solve_model(loglin_variables=False, verbose=False)
+    names = list(sol.T.index)
+    iy, ix = names.index("y"), names.index("x")
+    ss = burnside.steady_state(verbose=False).to_string()
+    np.testing.assert_allclose(float(ss["y_ss"]), ex["y_ss"], rtol=1e-12)
+    np.testing.assert_allclose(sol.T.to_numpy()[iy, ix], ex["S1"] * rho,
+                               rtol=1e-9)
+    np.testing.assert_allclose(sol.R.to_numpy()[iy, 0], ex["S1"], rtol=1e-9)
+
+
+def test_burnside_second_order_matches_closed_form(burnside):
+    """All quadratic blocks AND the uncertainty correction against the
+    published closed form: in y_t = g(x_{t-1}, eps_t, sigma),
+    d2y/dx_-2 = S2 rho^2, d2y/(dx_- deps) = S2 rho, d2y/deps2 = S2, and
+    (1/2) g_ss = Sv sigma^2 (the sigma^2 coefficient of the exact a_i)."""
+    beta, theta, rho, xbar = 0.95, -1.5, -0.139, 0.0179
+    sigma = 0.0348                            # Burnside's calibration
+    ex = _burnside_sums(beta, theta, rho, xbar)
+    sol, res2 = burnside.solve_model_second_order(loglin_variables=False,
+                                                  shock_std=sigma)
+    assert bool(res2.success)
+    names = list(sol.T.index)
+    iy, ix = names.index("y"), names.index("x")
+    G_xx = np.asarray(res2.G_xx)
+    G_xu = np.asarray(res2.G_xu)
+    G_uu = np.asarray(res2.G_uu)
+    g_ss = np.asarray(res2.g_ss)
+
+    np.testing.assert_allclose(G_xx[iy, ix, ix], ex["S2"] * rho ** 2,
+                               rtol=1e-8)
+    np.testing.assert_allclose(G_xu[iy, ix, 0], ex["S2"] * rho, rtol=1e-8)
+    np.testing.assert_allclose(G_uu[iy, 0, 0], ex["S2"], rtol=1e-8)
+    np.testing.assert_allclose(0.5 * g_ss[iy], ex["Sv"] * sigma ** 2,
+                               rtol=1e-8)
+    # the endowment state is exactly linear: no quadratic terms on the x row
+    np.testing.assert_allclose(G_xx[ix], 0.0, atol=1e-10)
+    np.testing.assert_allclose(g_ss[ix], 0.0, atol=1e-10)
+
+
+def test_burnside_second_order_accuracy_vs_exact_function(burnside):
+    """Pointwise: the order-2 policy with the uncertainty term tracks the
+    exact y(x, sigma) to O(h^3) where the order-1 (certainty-equivalent)
+    policy has both an O(h^2) curvature error and an O(sigma^2) level bias."""
+    beta, theta, rho, xbar = 0.95, -1.5, -0.139, 0.0179
+    sigma = 0.0348
+    sol, res2 = burnside.solve_model_second_order(loglin_variables=False,
+                                                  shock_std=sigma)
+    names = list(sol.T.index)
+    iy, ix = names.index("y"), names.index("x")
+    T = sol.T.to_numpy()
+    R = sol.R.to_numpy()
+
+    def y_exact(x, sig, n_terms=4000):
+        i = np.arange(1, n_terms + 1)
+        b = theta * rho * (1 - rho ** i) / (1 - rho)
+        v = (theta ** 2 / (2 * (1 - rho) ** 2)) * (
+            i - 2 * rho * (1 - rho ** i) / (1 - rho)
+            + rho ** 2 * (1 - rho ** (2 * i)) / (1 - rho ** 2))
+        a = theta * xbar * i + sig ** 2 * v
+        return float(np.sum(beta ** i * np.exp(a + b * (x - xbar))))
+
+    y_ss = y_exact(xbar, 0.0)
+
+    def approx_err(h, sig, order):
+        xhat_prev = h * 0.02                  # scale of a 2-sd shock path
+        eps = h * 0.03
+        x_t = xbar + rho * xhat_prev + eps
+        truth = y_exact(x_t, sig)
+        state = np.zeros(len(names))
+        state[ix] = xhat_prev
+        e = np.array([eps])
+        approx = y_ss + (T @ state + R @ e)[iy]
+        if order == 2:
+            approx += (
+                0.5 * np.asarray(res2.G_xx)[iy, ix, ix] * xhat_prev ** 2
+                + np.asarray(res2.G_xu)[iy, ix, 0] * xhat_prev * eps
+                + 0.5 * np.asarray(res2.G_uu)[iy, 0, 0] * eps ** 2
+                + (0.5 * np.asarray(res2.g_ss)[iy] if sig else 0.0))
+        return abs(approx - truth)
+
+    # deterministic accuracy: at sigma = 0 the order-2 error is pure cubic
+    # remainder (shrinks ~8x per halving of h); order-1 is quadratic
+    e2 = [approx_err(h, 0.0, 2) for h in (0.5, 0.25, 0.125)]
+    e1 = [approx_err(h, 0.0, 1) for h in (0.5, 0.25, 0.125)]
+    assert e2[1] / e2[0] < 0.25 and e2[2] / e2[1] < 0.25
+    assert 0.15 < e1[1] / e1[0] < 0.35        # ~1/4 per halving
+    assert all(b < a for a, b in zip(e1, e2))
+
+    # stochastic accuracy: the order-1 (certainty-equivalent) policy has an
+    # h-independent sigma^2 level bias; the g_ss term removes it down to
+    # the sigma^4 / cross-term remainder of the exact exponential a_i
+    err1 = approx_err(0.125, sigma, 1)
+    err2 = approx_err(0.125, sigma, 2)
+    assert err2 < 0.05 * err1
+    i = np.arange(1, 4001)
+    v = (theta ** 2 / (2 * (1 - rho) ** 2)) * (
+        i - 2 * rho * (1 - rho ** i) / (1 - rho)
+        + rho ** 2 * (1 - rho ** (2 * i)) / (1 - rho ** 2))
+    c = (beta * np.exp(theta * xbar)) ** i
+    sigma_floor = abs(np.sum(c * (np.exp(sigma ** 2 * v)
+                                  - 1 - sigma ** 2 * v)))
+    assert err2 < 5 * (sigma_floor + e2[2])   # remainder fully accounted for
