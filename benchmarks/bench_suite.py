@@ -149,12 +149,19 @@ class TimeLoglik:
             kwargs["measurement_error"] = {"Y": 0.001}
         ss.configure(observed_states=obs, **kwargs)
         data, draw = ss.data_from_prior(jax.random.PRNGKey(0), periods=200)
-        self.fn = jax.jit(ss.build_logpost(data))
         self.u = ss.unconstrain(draw)
-        jax.block_until_ready(self.fn(self.u))
+        # AOT: the compiled handle also carries XLA's buffer assignment,
+        # which is the peakmem column (see utils/memory.py)
+        self.compiled = jax.jit(ss.build_logpost(data)).lower(self.u).compile()
+        jax.block_until_ready(self.compiled(self.u))
 
     def time_loglik(self, model_name):
-        jax.block_until_ready(self.fn(self.u))
+        jax.block_until_ready(self.compiled(self.u))
+
+    def mem_report(self):
+        from geconpy_tpu.utils.memory import compiled_memory_summary
+
+        return compiled_memory_summary(self.compiled)
 
 
 class TimeSecondOrder:
@@ -196,12 +203,18 @@ class TimeUKFLoglik:
         ss.configure(observed_states=["Y", "C"],
                      measurement_error=["Y", "C"])
         data, draw = ss.data_from_prior(jax.random.PRNGKey(0), periods=200)
-        self.fn = jax.jit(ss.build_logpost_second_order(data))
         self.u = ss.unconstrain(draw)
-        jax.block_until_ready(self.fn(self.u))
+        self.compiled = jax.jit(
+            ss.build_logpost_second_order(data)).lower(self.u).compile()
+        jax.block_until_ready(self.compiled(self.u))
 
     def time_ukf_loglik(self, model_name):
-        jax.block_until_ready(self.fn(self.u))
+        jax.block_until_ready(self.compiled(self.u))
+
+    def mem_report(self):
+        from geconpy_tpu.utils.memory import compiled_memory_summary
+
+        return compiled_memory_summary(self.compiled)
 
 
 class TimePerfectForesight:
@@ -258,7 +271,16 @@ def _run_cases(rows):
                 continue
             method = [m for m in dir(case) if m.startswith("time_")][0]
             t = _median_time(lambda: getattr(case, method)(*combo))
-            rows.append((cls.__name__, combo, f"{t * 1e3:.3f} ms"))
+            cell = f"{t * 1e3:.3f} ms"
+            if hasattr(case, "mem_report"):
+                # peakmem analog (reference: asv peakmem_* cases) — XLA's
+                # compile-time device-buffer high-watermark per program
+                from geconpy_tpu.utils.memory import format_bytes
+
+                mem = case.mem_report()
+                cell += (f"  peak {format_bytes(mem['peak_bytes'])}"
+                         f" (temp {format_bytes(mem['temp_bytes'])})")
+            rows.append((cls.__name__, combo, cell))
             print(f"{cls.__name__:>22} {str(combo):>32}: {rows[-1][2]}")
     return rows
 
