@@ -29,6 +29,7 @@ __all__ = ["fit", "fit_pmmh", "PosteriorResult", "make_batched_logp_grad"]
 _LOGP_GRAD_CACHE = weakref.WeakKeyDictionary()
 _JIT_CACHE = weakref.WeakKeyDictionary()
 _MAP_CACHE = weakref.WeakKeyDictionary()
+_VMAP_LP_CACHE = weakref.WeakKeyDictionary()
 
 
 def _cached_jit(fn):
@@ -248,13 +249,37 @@ def fit(
         _log.info("MAP found: logpost %.2f", mode_logp)
         inits = u_mode[None, :] + 0.05 * jax.random.normal(
             k_init, (num_chains, u_mode.shape[0]), dtype=u_mode.dtype)
+        anchor = u_mode[None, :]
     elif init == "prior":
         inits = jnp.stack([
             ss_mod.initial_position(jitter=init_jitter, key=init_keys[i])
             for i in range(num_chains)
         ])
+        anchor = ss_mod.initial_position()[None, :]
     else:
         raise ValueError(f"init must be 'prior' or 'map', got {init!r}")
+
+    # a chain starting OUTSIDE the posterior support (-inf: jitter crossed a
+    # BK/solvability boundary) begins frozen, and under pooled adaptation a
+    # frozen chain degrades the shared metric for everyone — shrink such
+    # chains' jitter toward the anchor until every start is finite (host
+    # loop; reuses the jitted logpost the sampler compiles anyway)
+    # memoize the vmapped wrapper per logpost so repeat fits reuse the
+    # compiled init-check executable (the bench times the second fit on the
+    # no-recompile guarantee)
+    vlp = _VMAP_LP_CACHE.get(logpost)
+    if vlp is None:
+        vlp = jax.vmap(logpost)
+        _VMAP_LP_CACHE[logpost] = vlp
+    jlp = _cached_jit(vlp)
+    for _ in range(6):
+        finite = np.isfinite(np.asarray(jlp(inits)))
+        if finite.all():
+            break
+        _log.info("shrinking init jitter for %d/%d non-finite chain starts",
+                  int((~finite).sum()), num_chains)
+        shrunk = anchor + 0.5 * (inits - anchor)
+        inits = jnp.where(jnp.asarray(finite)[:, None], inits, shrunk)
 
     _log.info("NUTS: %d chains x (%d warmup + %d samples), %d parameters",
               num_chains, num_warmup, num_samples, ss_mod.n_estimated)

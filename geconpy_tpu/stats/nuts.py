@@ -146,8 +146,20 @@ def nuts_kernel(logp_fn: Callable, q, logp, grad, key, step_size, inv_mass,
         # Sigma = L Lᵀ, and momenta are N(0, M) with M = Sigma⁻¹, so
         # p = L⁻ᵀ z.  One dim x dim Cholesky + triangular solve per
         # transition — negligible next to the leapfrog logpost evals.
+        # If the float32 Cholesky of an ill-conditioned estimate fails,
+        # fall back to the diagonal of the metric for this WHOLE transition
+        # (draw + kinetic + leapfrog use the same fallback, so the kernel
+        # stays a valid HMC transition under that metric) instead of
+        # emitting NaN momenta (under POOLED adaptation NaN momenta freeze
+        # every chain at once and the run never recovers — see
+        # _welford_finalize's PD floor for the matching producer-side fix).
         L_cov = jnp.linalg.cholesky(inv_mass)
-        p0 = jax.scipy.linalg.solve_triangular(L_cov.T, z0, lower=False)
+        p_dense = jax.scipy.linalg.solve_triangular(L_cov.T, z0, lower=False)
+        d = jnp.clip(jnp.diagonal(inv_mass), 1e-30, None)
+        p_diag = z0 / jnp.sqrt(d)
+        ok = jnp.all(jnp.isfinite(p_dense))
+        inv_mass = jnp.where(ok, inv_mass, jnp.diag(d))
+        p0 = jnp.where(ok, p_dense, p_diag)
     else:
         p0 = z0 / jnp.sqrt(inv_mass)
     energy0 = -logp + _kinetic(p0, inv_mass)
@@ -451,6 +463,23 @@ def _welford_finalize(adapt, prev_anchor: bool = False):
     var = (n / (n + 5.0)) * var + (5.0 / (n + 5.0)) * anchor
     if dense:
         var = 0.5 * (var + var.T)
+        # PD safety floor.  A window whose chains barely moved (or froze —
+        # e.g. after rejected transitions) yields a rank-deficient sample
+        # covariance whose float32 Cholesky fails; with POOLED adaptation
+        # one failed Cholesky NaNs every chain's momenta, freezing all
+        # chains, which makes the NEXT window's covariance singular too —
+        # a self-locking 100%-divergence state (observed on SW-2007
+        # full-block, seed-dependent).  A relative ridge keeps the metric
+        # PD under f32 rounding, and a non-finite estimate falls back to
+        # the anchor rather than poisoning the run permanently.
+        dim = var.shape[0]
+        anchor_mat = (anchor if prev_anchor
+                      else 1e-3 * jnp.eye(dim, dtype=var.dtype))
+        finite = jnp.all(jnp.isfinite(var))
+        var = jnp.where(finite, var, anchor_mat)
+        eps_rel = 1e-6 if var.dtype == jnp.float32 else 1e-12
+        ridge = eps_rel * (jnp.trace(var) / dim + 1e-30)
+        var = var + ridge * jnp.eye(dim, dtype=var.dtype)
     return adapt._replace(
         inv_mass=var,
         welford_mean=jnp.zeros_like(adapt.welford_mean),

@@ -375,3 +375,53 @@ def test_trajectories_reach_depth_on_high_dim_target():
     ess = np.array([effective_sample_size(samples[:, :, i])
                     for i in range(dim)])
     assert ess.mean() > 0.5 * samples.shape[0] * samples.shape[1], ess.mean()
+
+
+def test_dense_finalize_is_pd_under_frozen_chains():
+    """A window whose chains never moved yields a zero sample covariance;
+    the finalized dense metric must still be PD (Cholesky finite) — a
+    singular metric NaNs every pooled chain's momenta and the run locks
+    into 100% divergence (observed on SW-2007 full-block, seed-dependent)."""
+    from geconpy_tpu.stats.nuts import (_adapt_init, _welford_finalize,
+                                        _welford_update_batch)
+
+    dim, chains = 6, 8
+    for dtype in (jnp.float32, jnp.float64):
+        adapt = _adapt_init(0.1, dim, dtype, dense=True)
+        q_frozen = jnp.ones((chains, dim), dtype)      # identical positions
+        for _ in range(7):
+            adapt = _welford_update_batch(adapt, q_frozen)
+        out = _welford_finalize(adapt)
+        L = jnp.linalg.cholesky(out.inv_mass)
+        assert bool(jnp.all(jnp.isfinite(L))), dtype
+
+        # a NaN-poisoned estimate falls back to the anchor, not NaN
+        adapt_bad = adapt._replace(
+            welford_m2=adapt.welford_m2.at[0, 0].set(jnp.nan))
+        out_bad = _welford_finalize(adapt_bad)
+        assert bool(jnp.all(jnp.isfinite(out_bad.inv_mass))), dtype
+        L = jnp.linalg.cholesky(out_bad.inv_mass)
+        assert bool(jnp.all(jnp.isfinite(L))), dtype
+
+
+def test_dense_kernel_survives_singular_metric():
+    """nuts_kernel with a singular dense inv_mass must degrade to the
+    diagonal metric for the transition — finite position and acceptance,
+    never NaN momenta."""
+    from geconpy_tpu.stats.nuts import nuts_kernel
+
+    def logp(q):
+        return -0.5 * jnp.sum(q ** 2)
+
+    dim = 4
+    q = jnp.zeros((dim,))
+    lp, g = jax.value_and_grad(logp)(q)
+    # rank-1 (singular) covariance with nonzero diagonal
+    v = jnp.arange(1.0, dim + 1.0)
+    inv_mass = jnp.outer(v, v)
+    q2, lp2, g2, info = nuts_kernel(logp, q, lp, g, jax.random.PRNGKey(0),
+                                    0.25, inv_mass, max_depth=5)
+    assert bool(jnp.all(jnp.isfinite(q2)))
+    assert bool(jnp.isfinite(lp2))
+    assert bool(jnp.isfinite(info["accept_prob"]))
+    assert float(info["accept_prob"]) > 0.0
