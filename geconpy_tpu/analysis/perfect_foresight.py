@@ -44,7 +44,7 @@ class PerfectForesightResult(NamedTuple):
 
 
 def _stacked_solver(mf, periods: int, tol: float, maxiter: int,
-                    max_backtracks: int = 10):
+                    max_backtracks: int = 10, direction: str = "direct"):
     f = mf.f_resid
     jac_lag = jax.jacfwd(f, argnums=0)
     jac_now = jax.jacfwd(f, argnums=1)
@@ -81,13 +81,38 @@ def _stacked_solver(mf, periods: int, tol: float, maxiter: int,
             Y, r, it, done = state
             return (~done) & (it < maxiter)
 
-        def body(state):
-            Y, r, it, done = state
+        def direct_direction(Y, r):
             A, B, C = jacobian_blocks(Y, y0, yT1, eps_path, theta_path)
             # A[0] couples to fixed y0 (not an unknown): zero it; same C[T-1]
             A = A.at[0].set(jnp.zeros((n, n), A.dtype))
             C = C.at[-1].set(jnp.zeros((n, n), C.dtype))
-            dY = solve_block_tridiagonal(A, B, C, -r)
+            return solve_block_tridiagonal(A, B, C, -r)
+
+        def krylov_direction(Y, r):
+            # matrix-free GMRES on the stacked system: the matvec is one
+            # jvp of the residual map, so neither the (T*n)^2 Jacobian nor
+            # even its (T, n, n) blocks are ever materialized — memory
+            # O(T*n*restart), the factorization-free path for very long
+            # horizons (reference: InexactNewtonKrylov LGMRES direction,
+            # gEconpy/solvers/sparse_root/direction.py:124)
+            def matvec(v):
+                V = v.reshape(Y.shape)
+                tangent = jax.jvp(
+                    lambda Y_: residuals(Y_, y0, yT1, eps_path, theta_path),
+                    (Y,), (V,))[1]
+                return tangent.ravel()
+
+            dy_flat, _ = jax.scipy.sparse.linalg.gmres(
+                matvec, -r.ravel(), tol=1e-6, atol=0.0,
+                restart=min(40, Y.size), maxiter=8, solve_method="batched")
+            return dy_flat.reshape(Y.shape)
+
+        def body(state):
+            Y, r, it, done = state
+            if direction == "krylov":
+                dY = krylov_direction(Y, r)
+            else:
+                dY = direct_direction(Y, r)
             bad = ~jnp.all(jnp.isfinite(dY))
             dY = jnp.where(bad, jnp.zeros_like(dY), dY)
 
@@ -129,6 +154,7 @@ def solve_perfect_foresight(
     tol: float = 1e-8,
     maxiter: int = 100,
     initial_guess: str = "terminal",   # "terminal" | "linear" | "initial"
+    direction: str = "direct",         # "direct" | "krylov"
 ) -> PerfectForesightResult:
     """Solve the nonlinear deterministic trajectory.
 
@@ -140,6 +166,10 @@ def solve_perfect_foresight(
     - Time-varying parameters: ``param_paths={"name": array}`` overrides a
       free parameter along the transition (padded with its terminal value);
       the terminal steady state must be consistent with the path's end.
+    - ``direction="krylov"`` computes each Newton step with matrix-free
+      GMRES (one jvp per inner iteration) instead of the block-tridiagonal
+      direct factorization — O(T n restart) memory, for horizons where the
+      (T, n, n) factor blocks no longer fit.
     """
     mf = model.functions
     n = mf.n_variables
@@ -195,7 +225,8 @@ def solve_perfect_foresight(
         w = jnp.linspace(0.0, 1.0, periods)[:, None]
         Y0 = (1 - w) * x0_ss[None, :] + w * xT_ss[None, :]
 
-    solve, _ = _stacked_solver(mf, periods, tol, maxiter)
+    solve, _ = _stacked_solver(mf, periods, tol, maxiter,
+                               direction=direction)
     Y, success, n_iter, resid_norm = jax.jit(solve)(
         Y0, x0_ss, xT_ss, jnp.asarray(eps_path), theta_path)
 

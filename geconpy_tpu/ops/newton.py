@@ -19,7 +19,8 @@ import jax.numpy as jnp
 from .precision import highest_precision
 
 __all__ = ["RootResult", "newton_solve", "levenberg_marquardt_solve",
-           "dogleg_solve", "chord_solve", "gauss_newton_cg_solve", "root"]
+           "dogleg_solve", "chord_solve", "gauss_newton_cg_solve",
+           "newton_krylov_solve", "root"]
 
 
 class RootResult(NamedTuple):
@@ -457,11 +458,96 @@ def dogleg_solve(
     return RootResult(x, success, norm, it, it)
 
 
+@highest_precision
+def newton_krylov_solve(
+    f: Callable,
+    x0: jax.Array,
+    args: tuple = (),
+    tol: float = 1e-8,
+    maxiter: int = 100,
+    max_backtracks: int = 12,
+    armijo_c: float = 1e-4,
+    gmres_tol: float = 1e-4,
+    gmres_restart: int = 30,
+    gmres_maxiter: int = 4,
+) -> RootResult:
+    """Matrix-free inexact Newton-Krylov with Armijo backtracking.
+
+    The Newton direction solves ``J dx = -r`` by GMRES whose matvec is one
+    ``jax.jvp`` of the residual — the Jacobian is never materialized or
+    factorized, so memory is O(dim x restart) and cost per inner iteration
+    is one residual-tangent evaluation.  The right tool for very large
+    stacked-time systems (perfect foresight at T >~ 512 on big models)
+    where even the block-tridiagonal direct solve's (T, n, n) factor blocks
+    dominate memory.  Role parity with the reference's
+    ``InexactNewtonKrylov`` LGMRES direction
+    (``gEconpy/solvers/sparse_root/direction.py:124``).
+
+    ``gmres_tol`` is the inexact-Newton forcing term (relative residual of
+    the inner solve); the steepest-descent fallback (via ``jax.vjp``) and
+    the line search mirror :func:`newton_solve`.
+    """
+    import numpy as np
+
+    tol = max(tol, 100 * float(np.finfo(np.dtype(x0.dtype)).eps))
+
+    def cond(state):
+        x, r, it, nfev, done = state
+        return (~done) & (it < maxiter)
+
+    def body(state):
+        x, r, it, nfev, done = state
+
+        def matvec(v):
+            return jax.jvp(lambda xx: f(xx, *args), (x,), (v,))[1]
+
+        dx, _ = jax.scipy.sparse.linalg.gmres(
+            matvec, -r, tol=gmres_tol, atol=0.0,
+            restart=min(gmres_restart, x.shape[0]),
+            maxiter=gmres_maxiter, solve_method="batched")
+        # fall back to steepest descent (J^T r via one vjp) on a failed
+        # inner solve — same convention as newton_solve
+        _, vjp_fn = jax.vjp(lambda xx: f(xx, *args), x)
+        (grad,) = vjp_fn(r)
+        bad_dir = ~jnp.all(jnp.isfinite(dx))
+        dx = jnp.where(bad_dir, -grad, dx)
+
+        m0 = 0.5 * jnp.dot(r, r)
+        slope = jnp.dot(grad, dx)
+
+        def backtrack(carry, _):
+            alpha, best_x, best_r, accepted, nf = carry
+            x_try = x + alpha * dx
+            r_try = f(x_try, *args)
+            m_try = 0.5 * jnp.dot(r_try, r_try)
+            ok = jnp.all(jnp.isfinite(r_try)) \
+                & (m_try <= m0 + armijo_c * alpha * slope) & (~accepted)
+            best_x = jnp.where(ok, x_try, best_x)
+            best_r = jnp.where(ok, r_try, best_r)
+            return (alpha * 0.5, best_x, best_r, accepted | ok, nf + 1), None
+
+        init = (jnp.asarray(1.0, x.dtype), x, r, jnp.asarray(False),
+                jnp.asarray(0))
+        (_, x_new, r_new, accepted, nf), _ = jax.lax.scan(
+            backtrack, init, None, length=max_backtracks)
+        converged = _inf_norm(r_new) < tol
+        return (x_new, r_new, it + 1, nfev + nf + 1,
+                (~accepted) | converged)
+
+    r0 = f(x0, *args)
+    state0 = (x0, r0, jnp.asarray(0), jnp.asarray(1),
+              jnp.asarray(_inf_norm(r0) < tol))
+    x, r, it, nfev, _ = jax.lax.while_loop(cond, body, state0)
+    norm = _inf_norm(r)
+    success = jnp.isfinite(norm) & (norm < tol)
+    return RootResult(x, success, norm, it, nfev)
+
+
 @partial(jax.jit, static_argnames=("f", "method", "tol", "maxiter"))
 def root(f, x0, args=(), method: str = "newton", tol: float = 1e-8,
          maxiter: int = 100) -> RootResult:
     """Dispatching root-finder.  ``method`` in {'newton', 'newton_nm',
-    'chord', 'lm', 'dogleg', 'gauss_newton', 'hybrid'}.
+    'chord', 'lm', 'dogleg', 'gauss_newton', 'newton_krylov', 'hybrid'}.
 
     'hybrid' runs Newton and falls back to LM when Newton fails — both
     branches trace (XLA dead-code-eliminates nothing here, but steady-state
@@ -480,6 +566,8 @@ def root(f, x0, args=(), method: str = "newton", tol: float = 1e-8,
         return dogleg_solve(f, x0, args, tol=tol, maxiter=maxiter)
     if method == "gauss_newton":
         return gauss_newton_cg_solve(f, x0, args, tol=tol, maxiter=maxiter)
+    if method == "newton_krylov":
+        return newton_krylov_solve(f, x0, args, tol=tol, maxiter=maxiter)
     if method == "hybrid":
         res_n = newton_solve(f, x0, args, tol=tol, maxiter=maxiter)
         res_lm = levenberg_marquardt_solve(f, x0, args, tol=tol, maxiter=2 * maxiter)

@@ -177,3 +177,43 @@ def test_brock_mirman_anticipated_shock_no_leakage(brock_mirman):
     # conditioning)
     np.testing.assert_allclose(traj["K"].to_numpy(), ref[:, 2], atol=1e-6)
     np.testing.assert_allclose(traj["C"].to_numpy(), ref[:, 3], atol=1e-6)
+
+
+def test_krylov_direction_matches_direct():
+    """direction='krylov' (matrix-free GMRES Newton step) reproduces the
+    block-tridiagonal direct trajectory (reference: InexactNewtonKrylov,
+    sparse_root/direction.py:124)."""
+    import numpy as np
+
+    import geconpy_tpu
+    from geconpy_tpu import solve_perfect_foresight
+
+    model = geconpy_tpu.model_from_gcn(geconpy_tpu.get_example_gcn("rbc"),
+                                       verbose=False)
+    shocks = {"epsilon_A": np.array([0.02])}
+    ref = solve_perfect_foresight(model, periods=80, shocks=shocks)
+    got = solve_perfect_foresight(model, periods=80, shocks=shocks,
+                                  direction="krylov")
+    assert ref.success and got.success
+    np.testing.assert_allclose(got.trajectory.to_numpy(),
+                               ref.trajectory.to_numpy(),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_krylov_direction_long_horizon():
+    """The factorization-free path converges on a long stacked-time system
+    (T = 512) and lands on the terminal steady state."""
+    import numpy as np
+
+    import geconpy_tpu
+    from geconpy_tpu import solve_perfect_foresight
+
+    model = geconpy_tpu.model_from_gcn(geconpy_tpu.get_example_gcn("rbc"),
+                                       verbose=False)
+    res = solve_perfect_foresight(model, periods=512,
+                                  shocks={"epsilon_A": np.array([0.02])},
+                                  direction="krylov")
+    assert res.success
+    ss = model.steady_state(verbose=False).to_string()
+    tail = res.trajectory.iloc[-1]
+    np.testing.assert_allclose(tail["K"], ss["K_ss"], rtol=1e-6)
