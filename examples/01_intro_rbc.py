@@ -67,6 +67,14 @@ def main(fast: bool = False):
     acf = gt.autocorrelation_matrix(sol, n_lags=3, shock_std=0.01)
     print("\nautocorrelations (lag 1):")
     print(acf.loc[1].round(3))
+
+    # ---- 5. Figures (rendered into docs/examples/ by docs/gen_examples.py)
+    from geconpy_tpu.analysis.plotting import (plot_eigenvalues, plot_irf,
+                                               plot_simulation)
+
+    plot_irf(irf, variables=["Y", "C", "I", "K", "L", "r"])
+    plot_simulation(sims, variables=["Y", "C", "K"])
+    plot_eigenvalues(bk)
     return sol
 
 

@@ -104,6 +104,13 @@ def main(fast: bool = False):
                                max_draws=50)
     print("\nforecast fan (tail):")
     print(fc.tail(3).round(4))
+
+    # ---- 9. Figures (rendered into docs/examples/ by docs/gen_examples.py):
+    # posterior IRF bands and the forecast fan chart.
+    from geconpy_tpu.analysis.plotting import plot_forecast, plot_irf
+
+    plot_irf(irfs, variables=["Y", "C"])
+    plot_forecast(fc, data=data, observed_names=["Y", "C"])
     return result
 
 

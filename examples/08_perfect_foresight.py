@@ -67,6 +67,11 @@ def main(fast: bool = False):
     print(f"\ntime-varying delta: success={bool(res_tv.success)}")
     print("investment response (first periods):")
     print(res_tv.trajectory["I"].head(5).round(5))
+
+    # figure for the gallery: temporary-shock transition paths
+    from geconpy_tpu.analysis.plotting import plot_perfect_foresight
+
+    plot_perfect_foresight(res, variables=["K", "C", "I", "Y"])
     return res
 
 

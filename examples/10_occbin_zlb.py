@@ -93,11 +93,8 @@ def main(fast: bool = False):
     assert (i_occ >= I_LB - 1e-8).all()
     print("rate path (first 8):", np.round(i_occ[:8], 4))
 
-    if not fast:
+    if True:  # figure rendered into the gallery (docs/gen_examples.py)
         try:
-            import matplotlib
-
-            matplotlib.use("Agg")
             import matplotlib.pyplot as plt
 
             fig, axes = plt.subplots(1, 3, figsize=(12, 3.2), sharex=True)
