@@ -9,10 +9,15 @@ Measures, on the real TPU (float32):
 2. ``value_grad_us_per_draw`` — microseconds per draw of the batched
    VALUE+GRADIENT at batch 512 (the NUTS leapfrog cost: Pallas forward +
    analytic-adjoint backward, ``filter_type="stationary"``).
-3. ``ess_per_hr`` — NUTS minimum effective-sample-size per hour per chip on
-   the identified SW-2007 exogenous block (128 pooled chains).  The timed
-   pass reuses the compiled programs from a warmup pass (the statespace
-   builder + sampler caches), so compile time is excluded.
+3. ``ess_per_hr_full_block`` — NUTS minimum effective-sample-size per hour
+   per chip on the FULL 22-parameter SW-2007 estimated block (exogenous
+   block + habit/csigma/Taylor rule) with a dense mass matrix and pooled
+   adaptation over 128 chains — the convergence artifact (max R-hat,
+   diverging fraction ship in ``ess_detail``).  The timed pass reuses the
+   compiled programs from a warmup pass (the statespace builder + sampler
+   caches), so compile time is excluded; the stage also measures the cold
+   vs warm (persistent-compilation-cache, fresh subprocess) first-fit wall
+   and the HBM peaks of the flagship programs.
 
 Prints ONE JSON line per completed stage — each line is a superset of the
 previous, so the LAST parseable line is always the most complete result and
@@ -37,7 +42,7 @@ import sys
 import time
 
 _T0 = time.time()
-_BUDGET = float(os.environ.get("BENCH_BUDGET_S", "3300"))
+_BUDGET = float(os.environ.get("BENCH_BUDGET_S", "5400"))
 _RESULT = {
     "metric": "sw2007_solve_kalman200_loglik_evals_per_sec_per_chip",
     "value": None,
@@ -128,10 +133,17 @@ def _stage_forward(profile_dir=None):
 
     # batched sweep path: vmapped steady-state/linearize + lane-batched
     # Pallas cycle reduction + Pallas Riccati settle + fused Pallas
-    # constant-gain filter tail
-    fn = jax.jit(ss.build_batched_loglik(
-        data32, n_settle=ss.kalman_settle, policy="pallas", settle="pallas"))
-    out = jax.block_until_ready(fn(batch))  # compile + sanity
+    # constant-gain filter tail.  AOT-compiled so the executable's buffer
+    # assignment gives the HBM peak (the peakmem metric) for free.
+    compiled = jax.jit(ss.build_batched_loglik(
+        data32, n_settle=ss.kalman_settle, policy="pallas", settle="pallas")
+    ).lower(batch).compile()
+    from geconpy_tpu.utils.memory import compiled_memory_summary
+
+    _RESULT.setdefault("hbm", {})["sweep_batch4096_peak_bytes"] = \
+        compiled_memory_summary(compiled)["peak_bytes"]
+    fn = compiled
+    out = jax.block_until_ready(fn(batch))  # first run + sanity
     n_finite = int(jnp.sum(jnp.isfinite(out)))
     assert n_finite / batch_size >= 0.99, \
         f"only {n_finite}/{batch_size} finite logposts"
@@ -177,7 +189,12 @@ def _stage_value_grad():
         jax.random.PRNGKey(1), (batch_size, u0.shape[0]), dtype=jnp.float32)
     data32 = np.asarray(data, dtype=np.float32)
 
-    vag = jax.jit(ss.build_batched_logpost_and_grad(data32))
+    vag = jax.jit(ss.build_batched_logpost_and_grad(data32)
+                  ).lower(batch).compile()
+    from geconpy_tpu.utils.memory import compiled_memory_summary
+
+    _RESULT.setdefault("hbm", {})["value_grad_batch512_peak_bytes"] = \
+        compiled_memory_summary(vag)["peak_bytes"]
     vals, grads = jax.block_until_ready(vag(batch))
     finite = int(jnp.sum(jnp.isfinite(vals)))
     assert finite / batch_size >= 0.99, f"{finite}/{batch_size} finite"
@@ -192,27 +209,95 @@ def _stage_value_grad():
         dt / (n_reps * batch_size) * 1e6, 2)
 
 
+_ESS_CHAINS = int(os.environ.get("BENCH_ESS_CHAINS", "128"))
+_ESS_WARMUP = int(os.environ.get("BENCH_ESS_WARMUP", "384"))
+_ESS_SAMPLES = int(os.environ.get("BENCH_ESS_SAMPLES", "256"))
+
+
+def _ess_fit_kwargs(num_chains, num_warmup, num_samples, seed):
+    return dict(num_chains=num_chains, num_warmup=num_warmup,
+                num_samples=num_samples, seed=seed, policy="pallas",
+                pooled_adaptation=True, max_depth=8, init="map",
+                target_accept=0.95, mass_matrix="dense",
+                segment_size=25)  # bounded device programs through the tunnel
+
+
+_WARM_CHILD = r"""
+import json, sys, time
+import numpy as np
+import jax
+import geconpy_tpu
+from geconpy_tpu import enable_persistent_cache
+import bench
+
+cache_dir, seed = sys.argv[1], int(sys.argv[2])
+enable_persistent_cache(cache_dir)
+t0 = time.time()
+ss = bench._configured_ss(bench.SW_ESTIMATED_FULL, filter_type="stationary",
+                          kalman_settle=32)
+data, _ = ss.data_from_prior(jax.random.PRNGKey(0), periods=200,
+                             params=bench._sw_truth(ss))
+geconpy_tpu.fit(ss, np.asarray(data, np.float32),
+                **bench._ess_fit_kwargs(bench._ESS_CHAINS, bench._ESS_WARMUP,
+                                        bench._ESS_SAMPLES, seed))
+print("WARM_FIRST_FIT_S", round(time.time() - t0, 1))
+"""
+
+
+_SW_TRUTH = {
+    # SW-2007-published-style values: informative data that pins the
+    # weakly-identified MA parameters (prior-MEAN truth leaves cmap
+    # bimodal/slow-mixing — measured R-hat ~1.03 vs 1.002 here)
+    "crhoa": 0.95, "crhob": 0.2, "crhog": 0.95, "crhoqs": 0.7,
+    "crhoms": 0.15, "crhopinf": 0.9, "crhow": 0.95, "cmap": 0.74,
+    "cmaw": 0.88, "cgy": 0.5, "crpi": 2.0, "crr": 0.8, "cry": 0.1,
+    "chabb": 0.7, "csigma": 1.4, "sigma_ea": 0.01, "sigma_eb": 0.01,
+    "sigma_eg": 0.01, "sigma_eqs": 0.01, "sigma_em": 0.01,
+    "sigma_epinf": 0.01, "sigma_ew": 0.01}
+
+
+def _sw_truth(ss):
+    """Data-generating parameter point for the full-block convergence
+    artifact (every estimated parameter pinned)."""
+    assert set(_SW_TRUTH) == {p.name for p in ss.estimated}
+    return dict(_SW_TRUTH)
+
+
 def _stage_ess():
-    """NUTS ESS/hr: warm pass compiles, timed pass reuses every program via
-    the builder + sampler caches (compile time excluded by construction)."""
+    """Full-block SW-2007 NUTS convergence + throughput: all 22 estimated
+    parameters (exogenous block + habit/csigma/Taylor rule), dense mass
+    matrix, pooled adaptation — the workload the framework exists for.
+
+    Three measurements:
+    - cold first fit (fresh persistent-cache dir): compile + first run;
+    - timed second fit (in-process caches): pure sampling -> ESS/hr,
+      R-hat, divergence artifact;
+    - warm first fit in a FRESH SUBPROCESS against the now-populated
+      persistent cache: the cross-process compile-cache story.
+    """
+    import subprocess
+    import tempfile
+
     import geconpy_tpu
     import jax
     import numpy as np
+    from geconpy_tpu import enable_persistent_cache
 
-    num_chains, num_warmup, num_samples = 128, 200, 150
-    ss = _configured_ss(SW_ESTIMATED_EXOG, filter_type="stationary",
+    num_chains, num_warmup, num_samples = (_ESS_CHAINS, _ESS_WARMUP,
+                                           _ESS_SAMPLES)
+    # fresh dir => the first fit is an honest COLD measurement
+    cache_dir = tempfile.mkdtemp(prefix="geconpy_xla_cache_")
+    enable_persistent_cache(cache_dir)
+
+    ss = _configured_ss(SW_ESTIMATED_FULL, filter_type="stationary",
                         kalman_settle=32)
     data, _ = ss.data_from_prior(jax.random.PRNGKey(0), periods=200,
-                                 params={"crhopinf": 0.8, "crhow": 0.85})
+                                 params=_sw_truth(ss))
     data32 = np.asarray(data, dtype=np.float32)
 
     def run(seed):
-        return geconpy_tpu.fit(
-            ss, data32, num_chains=num_chains, num_warmup=num_warmup,
-            num_samples=num_samples, seed=seed, policy="pallas",
-            pooled_adaptation=True, max_depth=8, init="map",
-            target_accept=0.9,
-            segment_size=25)  # bounded device programs through the tunnel
+        return geconpy_tpu.fit(ss, data32, **_ess_fit_kwargs(
+            num_chains, num_warmup, num_samples, seed))
 
     t0 = time.perf_counter()
     run(1)                       # compile pass (fills every program cache)
@@ -223,17 +308,49 @@ def _stage_ess():
 
     summ = result.summary()
     ess = summ["ess"].to_numpy()
-    _RESULT["ess_per_hr"] = round(float(np.min(ess) * 3600.0 / wall_s), 1)
+    min_ess_per_hr = round(float(np.min(ess) * 3600.0 / wall_s), 1)
+    _RESULT["ess_per_hr"] = min_ess_per_hr
+    _RESULT["ess_per_hr_full_block"] = min_ess_per_hr
     _RESULT["ess_detail"] = {
         "chains": num_chains,
         "draws": f"{num_warmup}+{num_samples}",
-        "params": len(SW_ESTIMATED_EXOG),
+        "params": len(SW_ESTIMATED_FULL),
+        "block": "full (exog + habit/csigma/Taylor rule), dense mass",
+        "min_ess": round(float(np.min(ess)), 1),
         "sampling_wall_s": round(wall_s, 1),
         "compile_and_first_run_s": round(compile_and_first, 1),
         "total_ess_per_hr": round(float(np.sum(ess) * 3600.0 / wall_s), 1),
         "max_r_hat": round(float(np.max(summ["r_hat"].to_numpy())), 3),
         "diverging_frac": round(float(np.mean(result.diverging)), 4),
     }
+    _emit()                      # convergence artifact is safe on stdout
+
+    # ---- warm first fit in a fresh process against the populated cache
+    if _remaining() > 60:
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", _WARM_CHILD, cache_dir, "1"],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True, text=True,
+                timeout=max(60, min(_remaining() - 30,
+                                    compile_and_first + wall_s)))
+            line = [ln for ln in out.stdout.splitlines()
+                    if ln.startswith("WARM_FIRST_FIT_S")]
+            if out.returncode == 0 and line:
+                warm_s = float(line[-1].split()[1])
+                _RESULT["ess_detail"]["first_fit_cold_s"] = round(
+                    compile_and_first, 1)
+                _RESULT["ess_detail"]["first_fit_warm_s"] = warm_s
+                _RESULT["ess_detail"]["warm_speedup"] = round(
+                    compile_and_first / warm_s, 2)
+            else:
+                _RESULT.setdefault("notes", []).append(
+                    f"warm-fit child rc={out.returncode}: "
+                    f"{out.stderr[-300:]}")
+        except subprocess.TimeoutExpired:
+            _RESULT.setdefault("notes", []).append(
+                "warm-fit child exceeded budget (cache likely cold "
+                "through this backend)")
 
 
 def main():
@@ -253,7 +370,7 @@ def main():
 
     stages = [("forward", lambda: _stage_forward(profile_dir), 1500),
               ("value_grad", _stage_value_grad, 1200),
-              ("ess", _stage_ess, 2400)]
+              ("ess", _stage_ess, 3600)]
     for name, stage, limit in stages:
         if _remaining() < 60:
             _RESULT.setdefault("notes", []).append(
