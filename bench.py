@@ -223,24 +223,32 @@ def _ess_fit_kwargs(num_chains, num_warmup, num_samples, seed):
 
 
 _WARM_CHILD = r"""
-import json, sys, time
+import sys, time
 import numpy as np
 import jax
+import jax.monitoring
 import geconpy_tpu
 from geconpy_tpu import enable_persistent_cache
 import bench
 
 cache_dir, seed = sys.argv[1], int(sys.argv[2])
 enable_persistent_cache(cache_dir)
+hits = []
+jax.monitoring.register_event_listener(
+    lambda name, **kw: hits.append(name)
+    if name == "/jax/compilation_cache/cache_hits" else None)
 t0 = time.time()
 ss = bench._configured_ss(bench.SW_ESTIMATED_FULL, filter_type="stationary",
                           kalman_settle=32)
 data, _ = ss.data_from_prior(jax.random.PRNGKey(0), periods=200,
                              params=bench._sw_truth(ss))
+t_build = time.time() - t0
+t1 = time.time()
 geconpy_tpu.fit(ss, np.asarray(data, np.float32),
                 **bench._ess_fit_kwargs(bench._ESS_CHAINS, bench._ESS_WARMUP,
                                         bench._ESS_SAMPLES, seed))
-print("WARM_FIRST_FIT_S", round(time.time() - t0, 1))
+print("WARM_FIRST_FIT_S", round(time.time() - t0, 1),
+      round(t_build, 1), round(time.time() - t1, 1), len(hits))
 """
 
 
@@ -337,12 +345,21 @@ def _stage_ess():
             line = [ln for ln in out.stdout.splitlines()
                     if ln.startswith("WARM_FIRST_FIT_S")]
             if out.returncode == 0 and line:
-                warm_s = float(line[-1].split()[1])
-                _RESULT["ess_detail"]["first_fit_cold_s"] = round(
-                    compile_and_first, 1)
-                _RESULT["ess_detail"]["first_fit_warm_s"] = warm_s
-                _RESULT["ess_detail"]["warm_speedup"] = round(
-                    compile_and_first / warm_s, 2)
+                parts = line[-1].split()
+                warm_s = float(parts[1])
+                warm_build = float(parts[2])
+                warm_fit = float(parts[3])
+                det = _RESULT["ess_detail"]
+                det["first_fit_cold_s"] = round(compile_and_first, 1)
+                det["first_fit_warm_s"] = warm_s
+                det["warm_cache_hits"] = int(parts[4])
+                det["warm_speedup"] = round(compile_and_first / warm_s, 2)
+                # compile-portion estimates (first fit includes a full
+                # sampling pass; subtract the measured pure-sampling wall)
+                det["compile_cold_est_s"] = round(
+                    max(0.0, compile_and_first - wall_s), 1)
+                det["compile_warm_est_s"] = round(
+                    max(0.0, warm_fit - wall_s), 1)
             else:
                 _RESULT.setdefault("notes", []).append(
                     f"warm-fit child rc={out.returncode}: "
