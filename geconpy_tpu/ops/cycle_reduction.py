@@ -135,17 +135,25 @@ def solve_adjoint_sylvester(M, C, T, G, iters: int = 30):
     W0 = Mt_inv @ G
     eps = float(np.finfo(np.dtype(W0.dtype)).eps)
 
+    n = W0.shape[0]
+
     def cond(carry):
         _, _, _, it, done = carry
         return (~done) & (it < iters)
 
     def body(carry):
         W, S_k, T_k, it, _ = carry
-        delta = S_k @ W @ T_k
+        # fuse the correction and the operator squaring into one matmul
+        # with a shared left factor: S_k @ [W T_k | S_k] — same FLOPs, one
+        # fewer kernel launch and a wider (better-tiled) MXU matmul per
+        # doubling at the batched (n ~ 33) hot-path sizes
+        WT = W @ T_k
+        both = S_k @ jnp.concatenate([WT, S_k], axis=-1)
+        delta, S_next = both[..., :n], both[..., n:]
         W_new = W + delta
         small = jnp.max(jnp.abs(delta)) <= eps * jnp.max(jnp.abs(W_new))
         done = small | ~jnp.isfinite(jnp.max(jnp.abs(delta)))
-        return (W_new, S_k @ S_k, T_k @ T_k, it + 1, done)
+        return (W_new, S_next, T_k @ T_k, it + 1, done)
 
     W, _, _, _, _ = jax.lax.while_loop(
         cond, body, (W0, S, T.T, jnp.asarray(0), jnp.asarray(False)))
