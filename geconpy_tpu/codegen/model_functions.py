@@ -57,6 +57,13 @@ class ModelFunctions:
     # unconstrained reparameterization for [unknown ss vars ++ calibrated params]
     bijector: VectorBijector
 
+    # symbolic linearization: nonzero entries of the stacked [A|B|C|D]
+    # Jacobian (same signature as f_resid) + their static scatter indices;
+    # None falls back to runtime jacfwd (see models/perturbation.py)
+    f_lin_nz: CompiledFunction | None = None
+    lin_rows: np.ndarray | None = None
+    lin_cols: np.ndarray | None = None
+
     @property
     def n_variables(self) -> int:
         """Number of model variables."""
@@ -165,6 +172,38 @@ def build_model_functions(primitives: ModelPrimitives) -> ModelFunctions:
             docstring="calibrating-equation residuals at the steady state",
         )
 
+    # ---- symbolic linearization Jacobians (reference:
+    # build_symbolic_jacobians, gEconpy/model/compile.py:163).  Only the
+    # NONZERO entries of [A | B | C | D] are differentiated, CSE'd in one
+    # shared pass, and lowered; the linearizer scatters them into the dense
+    # blocks with static indices.  Evaluating a few hundred sparse entries
+    # per draw is ~5x cheaper than runtime jacfwd over every input
+    # dimension (measured ~8 us/draw of the SW-2007 batched hot path), and
+    # it shrinks both the forward sweep and the NUTS value+grad.
+    col_syms = list(lags) + list(now) + list(leads) + list(shocks)
+    lin_rows: list[int] = []
+    lin_cols: list[int] = []
+    lin_exprs: list[sp.Expr] = []
+    for i, eq in enumerate(primitives.equations):
+        eq = sp.sympify(eq)
+        free_syms = eq.free_symbols
+        for j, s in enumerate(col_syms):
+            if s not in free_syms:
+                continue
+            d = sp.diff(eq, s)
+            if d == 0:
+                continue
+            lin_rows.append(i)
+            lin_cols.append(j)
+            lin_exprs.append(d)
+    f_lin_nz = lower_to_jax(
+        lin_exprs,
+        [("y_m1", lags), ("y", now), ("y_p1", leads), ("eps", shocks),
+         ("x_ss", ss_syms_dyn), ("theta", theta_symbols)],
+        name="f_lin_nz",
+        docstring="nonzero entries of the stacked [A|B|C|D] Jacobian",
+    )
+
     # ---- analytic steady state: which variables are known?
     ss_dict = primitives.ss_solution_dict
     known_mask = np.zeros(n, dtype=bool)
@@ -222,4 +261,7 @@ def build_model_functions(primitives: ModelPrimitives) -> ModelFunctions:
         f_ss_known=f_ss_known,
         eq_unknown_idx=eq_unknown_idx,
         bijector=bijector,
+        f_lin_nz=f_lin_nz,
+        lin_rows=np.asarray(lin_rows, dtype=np.int32),
+        lin_cols=np.asarray(lin_cols, dtype=np.int32),
     )
