@@ -6,10 +6,14 @@ build_symbolic_jacobians:163, pack_and_compile:402) with direct source-code
 generation of jittable JAX functions.  Design differences from the reference,
 chosen for the TPU/XLA compilation model:
 
-- **No symbolic differentiation.**  The reference differentiates equations in
-  sympy and runs a shared CSE pass over the four Jacobians; here the lowered
-  residual function is differentiated with ``jax.jacfwd``/``jacrev``, which is
-  exact, traces once, and lets XLA fuse the Jacobian with downstream ops.
+- **Symbolic differentiation only where sparsity pays.**  Steady-state and
+  policy-solve Jacobians come from ``jax.jacfwd``/``jacrev`` of the lowered
+  residual (exact, traces once, fuses downstream); the LINEARIZATION
+  Jacobian — the per-draw hot-path one — is differentiated in sympy at
+  build time like the reference (shared CSE over the nonzero [A|B|C|D]
+  entries, ``gEconpy/model/compile.py:163``) because the stacked block is
+  >95% structural zeros that forward-mode would otherwise pay for
+  (``codegen/model_functions.py`` f_lin_nz).
 - **Vector-packed inputs.**  Every generated function takes flat arrays
   (variables, parameters, shocks) so it is trivially ``vmap``-able and keeps
   static shapes fixed at model-build time.
