@@ -90,11 +90,26 @@ def _stacked_solver(mf, periods: int, tol: float, maxiter: int,
 
         def krylov_direction(Y, r):
             # matrix-free GMRES on the stacked system: the matvec is one
-            # jvp of the residual map, so neither the (T*n)^2 Jacobian nor
-            # even its (T, n, n) blocks are ever materialized — memory
-            # O(T*n*restart), the factorization-free path for very long
-            # horizons (reference: InexactNewtonKrylov LGMRES direction,
-            # gEconpy/solvers/sparse_root/direction.py:124)
+            # jvp of the residual map, so the per-period Jacobian blocks are
+            # never differentiated out or factorized (reference:
+            # InexactNewtonKrylov LGMRES direction,
+            # gEconpy/solvers/sparse_root/direction.py:124).  Unpreconditioned
+            # restarted GMRES stagnates on stacked-time pencils, so the
+            # CONSTANT steady-state blocks (one jacfwd at the terminal SS,
+            # not T of them) precondition it via the same block-Thomas scan
+            # — near the path the preconditioned operator is I + O(deviation)
+            # and GMRES converges in a handful of iterations.
+            T_len = Y.shape[0]
+            zero_e = jnp.zeros((eps_path.shape[1],), Y.dtype)
+            args_ss = (yT1, yT1, yT1, zero_e, yT1, theta_path[-1])
+            A_ss = jac_lag(*args_ss)
+            B_ss = jac_now(*args_ss)
+            C_ss = jac_lead(*args_ss)
+            zero_blk = jnp.zeros((n, n), Y.dtype)
+            A_b = jnp.broadcast_to(A_ss, (T_len, n, n)).at[0].set(zero_blk)
+            B_b = jnp.broadcast_to(B_ss, (T_len, n, n))
+            C_b = jnp.broadcast_to(C_ss, (T_len, n, n)).at[-1].set(zero_blk)
+
             def matvec(v):
                 V = v.reshape(Y.shape)
                 tangent = jax.jvp(
@@ -102,9 +117,13 @@ def _stacked_solver(mf, periods: int, tol: float, maxiter: int,
                     (Y,), (V,))[1]
                 return tangent.ravel()
 
+            def precond(v):
+                V = v.reshape(Y.shape)
+                return solve_block_tridiagonal(A_b, B_b, C_b, V).ravel()
+
             dy_flat, _ = jax.scipy.sparse.linalg.gmres(
-                matvec, -r.ravel(), tol=1e-6, atol=0.0,
-                restart=min(40, Y.size), maxiter=8, solve_method="batched")
+                matvec, -r.ravel(), M=precond, tol=1e-8, atol=0.0,
+                restart=20, maxiter=4, solve_method="batched")
             return dy_flat.reshape(Y.shape)
 
         def body(state):
