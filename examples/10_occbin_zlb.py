@@ -109,7 +109,6 @@ def main(fast: bool = False):
             axes[2].axhline(I_LB, ls=":", color="red", lw=1)
             axes[0].legend(frameon=False)
             fig.tight_layout()
-            print("wrote occbin_zlb.png")
         except ImportError:
             pass
     return res
