@@ -11,10 +11,13 @@ ALL_MODELS = ["rbc", "rbc_no_ss", "rbc_estimation", "nk_3eq", "nk_full",
               "nk_taxes", "nk_calvo", "sw2007", "brock_mirman",
               "nk_rotemberg", "rbc_iac", "nk_soe", "burnside"]
 
-# cycle reduction needs a nonsingular reduced B pencil; rbc_tank's
-# aggregation identities violate that, so it solves via gensys only
-# (solve_model's auto mode falls back)
-GENSYS_ONLY = {"rbc_tank"}
+# Models whose reduced B pencil defeats cycle reduction solve via gensys
+# only (solve_model's auto mode falls back).  rbc_tank used to live here:
+# the runtime-jacfwd Jacobians left its aggregation identities borderline
+# singular, but the EXACT structural zeros of the build-time symbolic
+# Jacobians (codegen f_lin_nz) fixed the reduced-pencil conditioning and
+# CR now agrees with gensys at ~3e-13.
+GENSYS_ONLY: set[str] = set()
 
 
 @pytest.mark.parametrize("name", ALL_MODELS)
