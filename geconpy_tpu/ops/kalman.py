@@ -184,6 +184,39 @@ def _spd_inverse_logdet(S):
     return A[:, k:], logdet
 
 
+def _gj_inverse(W):
+    """Inverse of a small GENERAL matrix by unrolled partially-pivoted
+    Gauss-Jordan elimination.  Same rationale as ``_spd_inverse`` (batched
+    LU factorizations serialize per element on TPU; n static vectorized
+    rank-1 updates win under vmap at n ~ 26), plus a per-step row pivot —
+    the SDA settle's I + G_k H_k is nonsingular (eigenvalues >= 1 for PSD
+    G, H) but not symmetric, so the SPD no-pivot sweep is not safe for it.
+    A singular input yields inf/NaN that the callers' flags reject.
+
+    No physical row swap: per batch element a dynamic row gather + scatter
+    costs ~50 us each at batch 512 (measured), so the pivot row is selected
+    with one-hot masked reductions and each step is ONE fused outer-product
+    update — the same trick the Pallas kernels use for Mosaic, paying off
+    under plain vmap too.  Rows are consumed in pivot order, so the final
+    left block is a permutation matrix L and the inverse is Lᵀ @ R."""
+    n = W.shape[-1]
+    dtype = W.dtype
+    A = jnp.concatenate([W, jnp.eye(n, dtype=dtype)], axis=-1)  # (n, 2n)
+    used = jnp.zeros((n,), bool)
+    for i in range(n):
+        score = jnp.where(used, -jnp.ones((n,), dtype), jnp.abs(A[:, i]))
+        onehot = jnp.where(jnp.arange(n) == jnp.argmax(score),
+                           jnp.ones((n,), dtype), jnp.zeros((n,), dtype))
+        pivrow = (onehot[:, None] * A).sum(axis=0)
+        pivrow = pivrow / pivrow[i]
+        # rows r != p: A[r] -= A[r, i] * pivrow  (pivrow[i] == 1 zeroes the
+        # column); row p: becomes pivrow exactly
+        A = A - (A[:, i] - onehot)[:, None] * pivrow[None, :]
+        used = used | (onehot > 0.5)
+    L, R = A[:, :n], A[:, n:]
+    return L.T @ R
+
+
 def _dare_step(P, T, RQR, Z, H):
     """One predictive-form Riccati step:
     P⁺ = T P Tᵀ − T P Zᵀ S⁻¹ Z P Tᵀ + RQRᵀ with S = Z P Zᵀ + H."""
@@ -213,6 +246,123 @@ def dare_residual_settled(T, RQR, Z, H, P):
     scale = jnp.max(jnp.abs(P))
     rtol = float(np.sqrt(np.finfo(np.dtype(P.dtype)).eps))
     return jnp.isfinite(delta) & (delta <= rtol * scale)
+
+
+@highest_precision
+def _sda_settle(T, RQR, Z, H, P_open=None, maxiter: int = 28):
+    """DARE settle by the structure-preserving doubling algorithm (SDA-I,
+    Chu–Fan–Lin 2004) on a SHIFTED equation that stays well-posed at H = 0.
+    Returns ``(P, certified)``; primal-only (callers re-attach gradients
+    through ``_implicit_dare_P``).
+
+    Plain SDA needs G₀ = Zᵀ H⁻¹ Z — undefined exactly on the estimation
+    hot path (no measurement error).  Substituting P = RQR + Y and
+    completing the square (the standard cross-term reduction; pinned
+    against a brute-force Riccati oracle in
+    tests/ops/test_stationary_kalman.py) gives an equivalent DARE in Y
+
+        Y = Â Y Âᵀ − Â Y Zᵀ (H̃ + Z Y Zᵀ)⁻¹ Z Y Âᵀ + Q̃
+
+    with  H̃ = H + Z·RQR·Zᵀ  (PD whenever the shocks reach every
+    observable within one period — e.g. SW-2007, 7 shocks / 7 obs),
+    Â = T (I − RQR Zᵀ H̃⁻¹ Z)  and  Q̃ = Â·RQR·Tᵀ (symmetric).  The
+    doubling iterates REPRESENT the 2^k-step Riccati flow as a linear
+    fractional transform,  Φ^{2^k}(Y₀) = H_k + A_kᵀ Y₀ (I + G_k Y₀)⁻¹ A_k,
+    so one loop of ~8 matmuls + one pivoted Gauss-Jordan inverse per
+    iteration replaces the Hewer schedule's Lyapunov doubling per Newton
+    stage.
+
+    MEASURED OUTCOME (why this is an option, not the default): on SW-2007
+    at batch 512 (n=26, k=7, TPU f32) the SDA settle runs ~8 us/draw
+    SLOWER than the Hewer schedule (98 vs 90 us/draw including the shared
+    per-draw solve) despite ~2x fewer loop trips.  The per-iteration
+    (I + G_k H_k)⁻¹ is an n-step-sequential elimination of launch-bound
+    fused ops, while Hewer's per-stage inverse is only k x k and its n x n
+    work is plain matmuls — at k << n the elimination depth dominates
+    exactly the budget doubling was supposed to save.  Kept as a
+    documented, certificate-guarded alternative (same spirit as
+    ``ops/pallas_dare.py``): it is the right tool where k ~ n or on
+    hardware with cheap batched triangular solves.
+
+    The returned P is the transform APPLIED AT Y₀ = P_open − RQR, i.e. the
+    exact 2^{maxiter}-step Riccati iterate from the open-loop unconditional
+    covariance — the same start the sequential filter and the Hewer settle
+    use.  This matters: with H = 0 the DARE can have several PSD fixed
+    points (measured on random exactly-observed systems), and the
+    from-the-unconditional-covariance limit is the one the time-varying
+    filter approaches, so "converged from P_open" is the only acceptable
+    answer; a from-zero doubling can certify a DIFFERENT fixed point.
+
+    Convergence is never assumed: the result carries a certificate from
+    ``dare_residual_settled`` (one exact Riccati step at the dtype's noise
+    floor — the same acceptance the adaptive Hewer settle uses), and
+    callers either fall back to the Hewer schedule or reject the draw as
+    -inf when it fails.  Reference role: the steady-state Kalman gain the
+    reference's pytensor scan filter approaches implicitly
+    (gEconpy/model/statespace.py:815 initializes at the unconditional
+    covariance)."""
+    import numpy as np
+
+    from .lyapunov import _doubling
+
+    dtype = T.dtype
+    eps = float(np.finfo(np.dtype(dtype)).eps)
+    n = T.shape[0]
+    eye = jnp.eye(n, dtype=dtype)
+
+    if P_open is None:
+        P_open = _doubling(T, RQR, 1e-14, 40)
+    Y0 = P_open - RQR
+    Y0 = 0.5 * (Y0 + Y0.T)
+    y0n = jnp.max(jnp.abs(Y0))
+
+    Ht = H + Z @ RQR @ Z.T
+    Hti = _spd_inverse(Ht)
+    ZtHti = Z.T @ Hti
+    Ahat = T @ (eye - RQR @ (ZtHti @ Z))
+    Qt = Ahat @ RQR @ T.T
+    A0 = Ahat.T
+    G0 = ZtHti @ Z
+    H0 = 0.5 * (Qt + Qt.T)
+
+    rtol = _HEWER_RTOL_EPS * eps
+    floor_scale = jnp.max(jnp.abs(RQR))
+
+    def cond(state):
+        _, _, _, it, done = state
+        return (~done) & (it < maxiter)
+
+    def body(state):
+        A, G, Hk, it, _ = state
+        Wi = _gj_inverse(eye + G @ Hk)
+        WA = Wi @ A
+        A1 = A @ WA
+        WiG = Wi @ G                    # symmetric: (I+GH)⁻¹G = G(I+HG)⁻¹
+        G1 = G + A @ WiG @ A.T
+        H1 = Hk + (A.T @ Hk) @ WA
+        G1 = 0.5 * (G1 + G1.T)
+        H1 = 0.5 * (H1 + H1.T)
+        delta = jnp.max(jnp.abs(H1 - Hk))
+        scale = jnp.maximum(jnp.max(jnp.abs(H1)), floor_scale)
+        # stop when the from-zero trajectory has stabilized AND the
+        # start-dependent correction A_kᵀ Y₀ (I+G_k Y₀)⁻¹ A_k is below the
+        # same floor (‖(I+GY₀)⁻¹‖ ≈ 1 for PSD G, Y₀): otherwise a from-zero
+        # plateau could stop the loop while the from-P_open iterate is
+        # still moving
+        a1n = jnp.max(jnp.abs(A1))
+        finite = jnp.isfinite(delta) & jnp.isfinite(a1n)
+        done = ((delta <= rtol * scale)
+                & (a1n * a1n * (n * y0n) <= rtol * scale)) | ~finite
+        return (A1, G1, H1, it + 1, done)
+
+    A, G, Hk, _, _ = jax.lax.while_loop(
+        cond, body, (A0, G0, H0, jnp.asarray(0), jnp.asarray(False)))
+    # apply the 2^k-step transform at the unconditional-covariance start
+    corr = (A.T @ (Y0 @ _gj_inverse(eye + G @ Y0))) @ A
+    P = RQR + Hk + 0.5 * (corr + corr.T)
+    P = 0.5 * (P + P.T)
+    certified = dare_residual_settled(T, RQR, Z, H, P)
+    return P, certified
 
 
 @highest_precision
@@ -275,63 +425,10 @@ def _idare_bwd(res, P_bar):
 _implicit_dare_P.defvjp(_idare_fwd, _idare_bwd)
 
 
-@highest_precision
-def stationary_kalman_loglik(y, T, R, Q, Z, H, d=None, x0=None,
-                             n_settle: int = 32):
-    """Stationary (constant-gain from t=0) Kalman log-likelihood.
-
-    The predictive covariance is pinned at the DARE fixed point P∞, so the
-    WHOLE filter is a linear constant-coefficient recursion — equivalent to
-    the exact filter initialized at P0 = P∞ (the filter stays at the fixed
-    point), and the standard "stationary Kalman filter" of the state-space
-    literature.  TPU-first gradient structure:
-
-    - the Riccati settle runs gradient-free (``stop_gradient``);
-    - gradients re-attach at the fixed point through the implicit adjoint
-      (one Stein doubling solve + one step-vjp), so backward cost does not
-      scale with ``n_settle``;
-    - the constant-gain scan is linear, so its autodiff transpose is one
-      cheap backward matvec scan.
-
-    ``n_settle`` caps the TOTAL number of Hewer stages: after the ``_N_HEWER``
-    unconditional stages, up to ``n_settle - _N_HEWER`` (at least one) extra
-    adaptive stages run until successive iterates agree at the dtype's noise
-    floor.  Draws whose settle has not converged within the cap — or whose
-    iterates went non-finite — are rejected as -inf, never returned biased.
-
-    Requires fully observed data (no NaN).  Role: the value+grad estimation
-    hot path (NUTS); the reference's counterpart is the pytensor scan filter
-    whose gradient unrolls every step.
-    """
-    y = jnp.asarray(y)
-    T = jnp.asarray(T)
-    R = jnp.asarray(R)
-    dtype = T.dtype
-    Q = jnp.asarray(Q, dtype)
-    Z = jnp.asarray(Z, dtype)
-    H = jnp.asarray(H, dtype)
-    n = T.shape[0]
-    k = Z.shape[0]
-    if d is None:
-        d = jnp.zeros((k,), dtype)
-    if x0 is None:
-        x0 = jnp.zeros((n,), dtype)
-    RQR = R @ Q @ R.T
-
-    # primal-only settle to the DARE fixed point: Hewer/Kleinman gain
-    # iterations, each solving the closed-loop Lyapunov equation exactly
-    # (doubling).  K = 0 is stabilizing for the stable T this path gates
-    # on, and its closed-loop Lyapunov solution is exactly the
-    # unconditional covariance, so the schedule starts from one doubling
-    # Lyapunov solve.  Convergence is globally monotone and asymptotically
-    # quadratic (Hewer 1971) — but the quadratic basin scales like
-    # lambda_min(S), so the stage count is ADAPTIVE (see _N_HEWER above)
-    # rather than a fixed handful, and the implicit adjoint below only ever
-    # sees a converged fixed point (un-settled draws are rejected).
+def _make_hewer_stage(Ts, RQRs, Zs, Hs):
+    """One Hewer/Kleinman stage (exact closed-loop Lyapunov solve by Smith
+    doubling) with the Riccati-step fallback on a blown-up inner solve."""
     from .lyapunov import _doubling
-
-    Ts, RQRs, Zs, Hs = (jax.lax.stop_gradient(m) for m in (T, RQR, Z, H))
-    P = _doubling(Ts, RQRs, 1e-14, 40)
 
     def hewer_stage(P):
         PZt = P @ Zs.T
@@ -348,23 +445,39 @@ def stationary_kalman_loglik(y, T, R, Q, Z, H, d=None, x0=None,
         return jnp.where(ok, 0.5 * (P_new + P_new.T),
                          _dare_step(P, Ts, RQRs, Zs, Hs))
 
-    # unrolled floor (the trip count is a static handful — a lax.scan here
-    # spends more on its carry's dynamic-update-slices than on the math at
-    # the batch-512 estimation hot path) ...
+    return hewer_stage
+
+
+@highest_precision
+def _hewer_settle(Ts, RQRs, Zs, Hs, n_settle: int):
+    """Hewer/Kleinman settle to the DARE fixed point (primal-only).
+
+    K = 0 is stabilizing for the stable T this path gates on, and its
+    closed-loop Lyapunov solution is exactly the unconditional covariance,
+    so the schedule starts from one doubling Lyapunov solve.  Convergence is
+    globally monotone and asymptotically quadratic (Hewer 1971) — but the
+    quadratic basin scales like lambda_min(S), so the stage count is
+    ADAPTIVE (see _N_HEWER above) rather than a fixed handful: an unrolled
+    floor of _N_HEWER unconditional stages (a static handful — a lax.scan
+    here spends more on its carry's dynamic-update-slices than on the math
+    at the batch-512 estimation hot path), then adaptive continuation to
+    the dtype's noise floor.  "Settled" means EITHER the update is a few
+    machine epsilons of |P|, OR the updates have stopped contracting
+    (plateau, ratio >= 1/2 of the previous) while already small
+    (<= sqrt(eps) * |P|) — a plateau at a LARGE update is genuine
+    non-convergence and the draw is rejected.  Under vmap this runs until
+    the worst draw in the batch converges: well-conditioned batches pay a
+    couple of extra stages, tiny-innovation tails up to the cap."""
+    import numpy as np
+
+    from .lyapunov import _doubling
+
+    dtype = Ts.dtype
+    P = _doubling(Ts, RQRs, 1e-14, 40)
+    hewer_stage = _make_hewer_stage(Ts, RQRs, Zs, Hs)
+
     for _ in range(_N_HEWER):
         P = hewer_stage(P)
-
-    # ... then adaptive continuation to the dtype's noise floor: successive
-    # Hewer updates contract until they hit the problem's rounding floor
-    # (~eps * condition * |P|, which can sit orders of magnitude above
-    # eps * |P| near unit roots), so "settled" means EITHER the update is a
-    # few machine epsilons of |P|, OR the updates have stopped contracting
-    # (plateau, ratio >= 1/2 of the previous) while already small
-    # (<= sqrt(eps) * |P|) — a plateau at a LARGE update is genuine
-    # non-convergence and rejects the draw below.  Under vmap this runs
-    # until the worst draw in the batch converges: well-conditioned batches
-    # pay a couple of extra stages, tiny-innovation tails up to the cap.
-    import numpy as np
 
     eps = float(np.finfo(np.dtype(dtype)).eps)
     rtol_hard = _HEWER_RTOL_EPS * eps
@@ -385,7 +498,7 @@ def stationary_kalman_loglik(y, T, R, Q, Z, H, d=None, x0=None,
         plateau = (delta >= 0.5 * prev_delta) & (delta <= rtol_soft * scale)
         finite = jnp.isfinite(delta)
         # a non-finite delta exits the loop but is NOT settled — the draw is
-        # rejected as -inf below (failure = flags, never NaN)
+        # rejected as -inf (failure = flags, never NaN)
         settled = finite & ((delta <= rtol_hard * scale) | plateau)
         return (P_new, delta, it + 1, settled, settled | ~finite)
 
@@ -393,6 +506,130 @@ def stationary_kalman_loglik(y, T, R, Q, Z, H, d=None, x0=None,
         cond, body,
         (P, jnp.asarray(jnp.inf, dtype), jnp.asarray(0),
          jnp.asarray(False), jnp.asarray(False)))
+    return P, settled
+
+
+@highest_precision
+def _auto_settle(Ts, RQRs, Zs, Hs, n_settle: int):
+    """SDA fast path + Hewer continuation for draws its certificate rejects.
+
+    The continuation lives in ONE ``while_loop`` whose done-flag starts at
+    the SDA certificate, so a fully-certified batch pays zero extra stages
+    under vmap (a vmapped while_loop runs until the worst lane is done).
+    Uncertified draws rebuild from the open-loop unconditional covariance
+    (shared with the SDA's start correction) — NEVER from the uncertified
+    SDA iterate: a Hewer gain derived from a bad start can be DEstabilizing
+    (see _N_HEWER notes), and the open-loop start is the schedule with the
+    convergence guarantee."""
+    import numpy as np
+
+    from .lyapunov import _doubling
+
+    dtype = Ts.dtype
+    eps = float(np.finfo(np.dtype(dtype)).eps)
+    rtol_hard = _HEWER_RTOL_EPS * eps
+    rtol_soft = float(np.sqrt(eps))
+
+    P_open = _doubling(Ts, RQRs, 1e-14, 40)
+    P_sda, cert = _sda_settle(Ts, RQRs, Zs, Hs, P_open)
+    hewer_stage = _make_hewer_stage(Ts, RQRs, Zs, Hs)
+    cap = max(_N_HEWER + 1, int(n_settle))   # same total as the pure path
+
+    def cond(state):
+        _, _, it, _, stop = state
+        return (~stop) & (it < cap)
+
+    def body(state):
+        P, prev_delta, it, _, _ = state
+        P_new = hewer_stage(P)
+        delta = jnp.max(jnp.abs(P_new - P))
+        scale = jnp.max(jnp.abs(P_new))
+        # same acceptance as the pure-Hewer schedule; stages up to the
+        # _N_HEWER floor are unconditional (quoting measured deltas there
+        # would let the shrinking-basin middle stages masquerade as a
+        # plateau — see the _N_HEWER notes)
+        can_stop = it >= _N_HEWER
+        plateau = (delta >= 0.5 * prev_delta) & (delta <= rtol_soft * scale)
+        finite = jnp.isfinite(delta)
+        settled = can_stop & finite & ((delta <= rtol_hard * scale) | plateau)
+        return (P_new, delta, it + 1, settled, settled | ~finite)
+
+    P0 = jnp.where(cert, P_sda, P_open)
+    P, _, _, settled, _ = jax.lax.while_loop(
+        cond, body,
+        (P0, jnp.asarray(jnp.inf, dtype), jnp.asarray(0), cert, cert))
+    return P, settled
+
+
+@highest_precision
+def stationary_kalman_loglik(y, T, R, Q, Z, H, d=None, x0=None,
+                             n_settle: int = 32,
+                             settle_method: str = "hewer"):
+    """Stationary (constant-gain from t=0) Kalman log-likelihood.
+
+    The predictive covariance is pinned at the DARE fixed point P∞, so the
+    WHOLE filter is a linear constant-coefficient recursion — equivalent to
+    the exact filter initialized at P0 = P∞ (the filter stays at the fixed
+    point), and the standard "stationary Kalman filter" of the state-space
+    literature.  TPU-first gradient structure:
+
+    - the Riccati settle runs gradient-free (``stop_gradient``);
+    - gradients re-attach at the fixed point through the implicit adjoint
+      (one Stein doubling solve + one step-vjp), so backward cost does not
+      scale with ``n_settle``;
+    - the constant-gain scan is linear, so its autodiff transpose is one
+      cheap backward matvec scan.
+
+    ``settle_method`` picks the primal settle: ``"hewer"`` (default, fastest
+    measured — see ``_sda_settle`` for why), ``"sda"`` (one SDA doubling
+    loop, uncertified draws rejected), or ``"auto"`` (SDA + Hewer
+    continuation for draws the certificate rejects).  ``n_settle`` caps the
+    TOTAL number of Hewer
+    stages: after the ``_N_HEWER`` unconditional stages, up to
+    ``n_settle - _N_HEWER`` (at least one) extra adaptive stages run until
+    successive iterates agree at the dtype's noise floor.  Draws whose
+    settle has not converged within the cap — or whose iterates went
+    non-finite — are rejected as -inf, never returned biased.
+
+    Requires fully observed data (no NaN).  Role: the value+grad estimation
+    hot path (NUTS); the reference's counterpart is the pytensor scan filter
+    whose gradient unrolls every step.
+    """
+    y = jnp.asarray(y)
+    T = jnp.asarray(T)
+    R = jnp.asarray(R)
+    dtype = T.dtype
+    Q = jnp.asarray(Q, dtype)
+    Z = jnp.asarray(Z, dtype)
+    H = jnp.asarray(H, dtype)
+    n = T.shape[0]
+    k = Z.shape[0]
+    if d is None:
+        d = jnp.zeros((k,), dtype)
+    if x0 is None:
+        x0 = jnp.zeros((n,), dtype)
+    RQR = R @ Q @ R.T
+
+    # primal-only settle to the DARE fixed point (gradients re-attach at the
+    # fixed point through the implicit adjoint; un-settled draws -inf):
+    #   "hewer" — the Hewer/Kleinman schedule (open-loop unconditional-
+    #             covariance start, _N_HEWER unconditional stages, adaptive
+    #             continuation to the dtype's noise floor) — the measured
+    #             default at k << n (see _sda_settle's outcome note);
+    #   "sda"   — SDA doubling alone, uncertified draws rejected;
+    #   "auto"  — SDA + Hewer continuation only for draws the
+    #             Riccati-residual certificate rejects.
+    Ts, RQRs, Zs, Hs = (jax.lax.stop_gradient(m) for m in (T, RQR, Z, H))
+    if settle_method == "auto":
+        P, settled = _auto_settle(Ts, RQRs, Zs, Hs, n_settle)
+    elif settle_method == "sda":
+        P, settled = _sda_settle(Ts, RQRs, Zs, Hs)
+    elif settle_method == "hewer":
+        P, settled = _hewer_settle(Ts, RQRs, Zs, Hs, n_settle)
+    else:
+        raise ValueError(
+            f"settle_method must be 'auto', 'sda' or 'hewer', "
+            f"got {settle_method!r}")
 
     ll = stationary_loglik_from_P(y, T, RQR, Z, H, d, jnp.asarray(x0, dtype),
                                   P)

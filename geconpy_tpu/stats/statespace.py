@@ -107,6 +107,7 @@ class DSGEStateSpace:
         solver: str = "cycle_reduction",
         filter_type: str = "sequential",
         kalman_settle: int = 48,
+        kalman_settle_method: str = "hewer",
         loglin_variables="auto",
         cycle_reduction_tol: float = 1e-10,
         cycle_reduction_maxiter: int = 100,
@@ -156,6 +157,13 @@ class DSGEStateSpace:
           (``gEconpy/model/statespace.py:240,827``), TPU-first
           parameterization (unconstrained scalars, exact log-jacobians, no
           PSD projection needed).
+        - ``kalman_settle_method`` (``filter_type="stationary"`` only):
+          how the DARE settle reaches its fixed point — ``"hewer"``
+          (default, fastest measured at SW-2007 scale), ``"sda"``
+          (structure-preserving doubling, uncertified draws rejected), or
+          ``"auto"`` (SDA + Hewer fallback); see
+          ``ops.kalman.stationary_kalman_loglik`` and ``_sda_settle`` for
+          the measured trade-off.
         - ``p0_init="diffuse"``: approximate-diffuse filter initialization
           P0 = ``diffuse_kappa`` * I instead of the stationary Lyapunov
           covariance, for models with (near-)unit roots — the stability
@@ -196,6 +204,10 @@ class DSGEStateSpace:
                              "'steady_state', 'stationary' or 'chandrasekhar'")
         self.filter_type = filter_type
         self.kalman_settle = int(kalman_settle)
+        if kalman_settle_method not in ("auto", "sda", "hewer"):
+            raise ValueError("kalman_settle_method must be 'auto', 'sda' or "
+                             f"'hewer', got {kalman_settle_method!r}")
+        self.kalman_settle_method = kalman_settle_method
         self.ss_obs_intercept = ss_obs_intercept
         self._setup_observation_equations(observation_equations)
         self.solver = solver
@@ -746,7 +758,9 @@ class DSGEStateSpace:
             def _loglik(y_, T_, R_, Q_, Z_, H_, d=None):
                 return stationary_kalman_loglik(
                     y_, T_, R_, Q_, Z_, H_, d=d,
-                    n_settle=self.kalman_settle)
+                    n_settle=self.kalman_settle,
+                    settle_method=getattr(self, "kalman_settle_method",
+                                          "hewer"))
         elif filter_type == "chandrasekhar":
             from ..ops.chandrasekhar import chandrasekhar_loglik as _loglik
         elif filter_type == "parallel":

@@ -254,6 +254,190 @@ def test_n_settle_caps_adaptive_stages():
     assert ll_tight == -np.inf
 
 
+def test_gj_inverse_handles_zero_pivots():
+    """The general Gauss-Jordan inverse pivots rows: a matrix with zero
+    diagonal (where the SPD no-pivot sweep would divide by zero) still
+    inverts to machine precision."""
+    from geconpy_tpu.ops.kalman import _gj_inverse
+
+    W = jnp.asarray([[0.0, 1.0, 0.0],
+                     [1.0, 0.0, 0.0],
+                     [0.0, 0.0, 2.0]])
+    err = float(jnp.max(jnp.abs(_gj_inverse(W) @ W - jnp.eye(3))))
+    assert err < 1e-14
+
+    key = jax.random.PRNGKey(3)
+    A = jax.random.normal(key, (12, 12)) + 5.0 * jnp.eye(12)
+    err = float(jnp.max(jnp.abs(_gj_inverse(A) @ A - jnp.eye(12))))
+    assert err < 1e-12
+
+
+def test_sda_settle_matches_brute_force_from_unconditional_covariance():
+    """The SDA doubling settle (certified draws) reproduces the limit of
+    plain Riccati iteration STARTED AT THE UNCONDITIONAL COVARIANCE — the
+    sequential filter's convention — across spectral radii, with and
+    without measurement error (H = 0 is the estimation hot path)."""
+    from geconpy_tpu.ops.kalman import _hewer_settle, _sda_settle
+    from geconpy_tpu.ops.lyapunov import _doubling
+
+    rng = np.random.default_rng(0)
+    checked = 0
+    for rho in (0.5, 0.9, 0.97, 0.995):
+        for h_scale in (0.0, 0.3):
+            A = rng.standard_normal((8, 8))
+            T = jnp.asarray(rho / np.abs(np.linalg.eigvals(A)).max() * A)
+            R = jnp.asarray(rng.standard_normal((8, 3)))
+            RQR = R @ R.T
+            Z = jnp.asarray(rng.standard_normal((3, 8)))
+            H = h_scale * jnp.eye(3)
+
+            P = _doubling(T, RQR, 1e-14, 60)
+            for _ in range(20000):
+                P2 = _dare_step(P, T, RQR, Z, H)
+                if float(jnp.max(jnp.abs(P2 - P))) < 1e-14 * float(
+                        jnp.max(jnp.abs(P2))):
+                    break
+                P = P2
+            P_oracle = P2
+
+            scale = float(jnp.max(jnp.abs(P_oracle)))
+            P_sda, cert = _sda_settle(T, RQR, Z, H)
+            if bool(cert):
+                np.testing.assert_allclose(np.asarray(P_sda),
+                                           np.asarray(P_oracle),
+                                           atol=1e-9 * scale)
+                checked += 1
+            # the Hewer settle must agree too (shared oracle)
+            P_h, settled = _hewer_settle(T, RQR, Z, H, 48)
+            assert bool(settled)
+            np.testing.assert_allclose(np.asarray(P_h), np.asarray(P_oracle),
+                                       atol=1e-9 * scale)
+    assert checked >= 5, "SDA certified too few cases to be meaningful"
+
+
+def test_sda_certificate_is_honest_on_degenerate_exact_observation():
+    """With H = 0 and exact observation the DARE can have several PSD fixed
+    points; the from-zero doubling trajectory can approach a DIFFERENT one
+    than the filter's from-unconditional-covariance limit.  Whatever the
+    SDA path reports, 'auto' must equal the Hewer reference — certified
+    draws because the start correction lands them on the right limit,
+    uncertified ones through the fallback."""
+    from geconpy_tpu.ops.kalman import _auto_settle, _hewer_settle
+
+    rng = np.random.default_rng(0)
+    disagreements = 0
+    for _ in range(6):
+        A = rng.standard_normal((8, 8))
+        T = jnp.asarray(0.97 / np.abs(np.linalg.eigvals(A)).max() * A)
+        R = jnp.asarray(rng.standard_normal((8, 3)))
+        RQR = R @ R.T
+        Z = jnp.asarray(rng.standard_normal((3, 8)))
+        H = jnp.zeros((3, 3))
+
+        P_h, settled = _hewer_settle(T, RQR, Z, H, 48)
+        P_a, settled_a = _auto_settle(T, RQR, Z, H, 48)
+        assert bool(settled_a) == bool(settled)
+        if bool(settled):
+            scale = float(jnp.max(jnp.abs(P_h)))
+            np.testing.assert_allclose(np.asarray(P_a), np.asarray(P_h),
+                                       atol=1e-8 * scale)
+        disagreements += 1
+    assert disagreements == 6
+
+
+def test_settle_methods_agree_on_loglik():
+    """settle_method='auto' and 'hewer' give the same stationary likelihood
+    (certified draws take the SDA fast path; the values must still match the
+    Hewer reference at the dtype's noise floor)."""
+    T, R, Q, Z, H, d = _random_system(jax.random.PRNGKey(21))
+    y = _simulate(jax.random.PRNGKey(22), T, R, Q, Z, H, periods=80)
+    ll_auto = float(stationary_kalman_loglik(y, T, R, Q, Z, H, d=d,
+                                             settle_method="auto"))
+    ll_hewer = float(stationary_kalman_loglik(y, T, R, Q, Z, H, d=d,
+                                              settle_method="hewer"))
+    ll_sda = float(stationary_kalman_loglik(y, T, R, Q, Z, H, d=d,
+                                            settle_method="sda"))
+    assert np.isfinite(ll_hewer)
+    np.testing.assert_allclose(ll_auto, ll_hewer, rtol=1e-9)
+    # well-conditioned system: SDA certifies and matches
+    np.testing.assert_allclose(ll_sda, ll_hewer, rtol=1e-9)
+
+
+def test_auto_settle_falls_back_when_sda_uncertified():
+    """H-tilde = H + Z RQR Z' singular (a noiseless observable no shock
+    reaches within one period) breaks the SDA shift; 'auto' must recover
+    through the Hewer fallback, 'sda' alone must reject as -inf — never
+    return a silently wrong value."""
+    key = jax.random.PRNGKey(30)
+    k1, k2 = jax.random.split(key)
+    n = 5
+    T = 0.8 * jax.random.orthogonal(k1, n)
+    # one shock loading only on state 0
+    R = jnp.zeros((n, 1)).at[0, 0].set(1.0)
+    Q = jnp.eye(1)
+    # observe state 0 (shock-reached) AND a pure function of states 1..4
+    # (unreached within one period: Z RQR Z' is singular)
+    Z = jnp.zeros((2, n)).at[0, 0].set(1.0).at[1, 2].set(1.0)
+    H = jnp.zeros((2, 2))
+    d = jnp.zeros((2,))
+    RQR = R @ Q @ R.T
+    assert np.linalg.matrix_rank(np.asarray(Z @ RQR @ Z.T)) < 2
+
+    y = _simulate(jax.random.PRNGKey(31), T, R, Q, Z,
+                  1e-18 * jnp.eye(2), periods=60)
+
+    from geconpy_tpu.ops.kalman import _sda_settle
+
+    _, cert = _sda_settle(T, RQR, Z, H)
+    assert not bool(cert)
+
+    ll_hewer = stationary_kalman_loglik(y, T, R, Q, Z, H, d=d,
+                                        settle_method="hewer")
+    ll_auto = stationary_kalman_loglik(y, T, R, Q, Z, H, d=d,
+                                       settle_method="auto")
+    ll_sda = stationary_kalman_loglik(y, T, R, Q, Z, H, d=d,
+                                      settle_method="sda")
+    assert float(ll_sda) == -np.inf
+    np.testing.assert_allclose(float(ll_auto), float(ll_hewer), rtol=1e-9)
+
+
+def test_sda_settle_unbiased_tiny_innovations():
+    """The SW-2007 tiny-innovation pathology, SDA edition (CLAUDE.md
+    invariant: every new settle schedule needs a float64 bias check): on
+    the ill-conditioned fixture the SDA path must either match the
+    brute-force DARE likelihood or reject the draw — never return a biased
+    value."""
+    key = jax.random.PRNGKey(7)
+    k1, k2, k3 = jax.random.split(key, 3)
+    n, k = 8, 3
+    T = 0.97 * jax.random.orthogonal(k1, n)
+    R = jax.random.normal(k2, (n, k)) / np.sqrt(k)
+    Q = jnp.diag(jnp.asarray([1e-2, 2e-3, 5e-4]) ** 2)
+    Z = jax.random.normal(k3, (k, n)) / np.sqrt(n)
+    H = jnp.zeros((k, k))
+    d = jnp.zeros((k,))
+    y = _simulate(jax.random.PRNGKey(8), T, R, Q, Z, jnp.eye(k) * 1e-18,
+                  periods=150)
+
+    RQR = R @ Q @ R.T
+    P_ref = _dare_fixed_point(T, RQR, Z, H, iters=4000)
+
+    from geconpy_tpu.ops.kalman import stationary_loglik_from_P
+
+    ll_ref = float(stationary_loglik_from_P(
+        y, T, RQR, Z, H, d, jnp.zeros((n,)), P_ref))
+    for method in ("sda", "auto"):
+        ll = float(stationary_kalman_loglik(y, T, R, Q, Z, H, d=d,
+                                            settle_method=method))
+        assert ll == -np.inf or abs(ll - ll_ref) < 1e-6 * abs(ll_ref), (
+            f"settle_method={method} returned a biased likelihood: "
+            f"{ll} vs {ll_ref}")
+    # 'auto' must converge here (the Hewer fallback handles it)
+    ll_auto = float(stationary_kalman_loglik(y, T, R, Q, Z, H, d=d,
+                                             settle_method="auto"))
+    np.testing.assert_allclose(ll_auto, ll_ref, rtol=1e-6)
+
+
 def test_nonfinite_settle_rejected_as_neg_inf_not_nan():
     """NaN inputs must flow out as -inf, never NaN (failure = flags): a
     non-finite Hewer delta exits the settle loop UN-settled."""
