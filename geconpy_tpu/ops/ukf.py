@@ -302,7 +302,9 @@ def cl_ukf_loglik(y, A, nonlinear: Callable, Z, H, d, Q, x0, P0,
     b = (R eps, quadratic correction, 0).  At SW-2007 scale this halves the
     sigma-point count of the generic :func:`ukf_loglik` (2(n+q)+1 vs
     2(2n+q)+1 with L = 0) while remaining exact for the model class —
-    parity asserted against the generic filter in tests/ops/test_ukf.py.
+    parity asserted against the generic filter in
+    tests/stats/test_second_order_estimation.py
+    (test_marginalized_matches_full_ukf).
     """
     y = jnp.asarray(y)
     x0 = jnp.asarray(x0)

@@ -235,3 +235,87 @@ class TestPlotTimeseriesContent:
                                    df["Y"])
         np.testing.assert_allclose(by_title["pi"].lines[0].get_ydata(),
                                    df["pi"])
+
+
+class TestGridspecHelper:
+    def test_surplus_panels_hidden_and_count(self):
+        fig, axes = plotting.prepare_gridspec_figure(7, n_cols=3)
+        assert len(axes) == 7
+        all_axes = fig.get_axes()
+        assert len(all_axes) == 9
+        hidden = [a for a in all_axes if not a.get_visible()]
+        assert len(hidden) == 2
+
+    def test_sharex_relabels_panel_above_hidden(self):
+        fig, axes = plotting.prepare_gridspec_figure(4, n_cols=3, sharex=True)
+        # panel 1 sits above the hidden slot 4 (row-major): its x tick
+        # labels must be re-enabled so the column keeps a labeled axis
+        lab = [t.get_visible() for t in axes[1].get_xticklabels()]
+        assert all(lab)
+
+    def test_suptitle_set(self):
+        fig, _ = plotting.prepare_gridspec_figure(2, suptitle="hello")
+        assert fig._suptitle.get_text() == "hello"
+
+
+class TestPlotEstimatedMatrixContent:
+    def test_histograms_match_entries_and_titles(self):
+        rng = np.random.default_rng(3)
+        draws = rng.normal(loc=[[0.0, 5.0], [-5.0, 10.0]],
+                           scale=0.1, size=(400, 2, 2))
+        fig = plotting.plot_estimated_matrix(draws, index=["r1", "r2"],
+                                             columns=["c1", "c2"])
+        axes = [a for a in fig.get_axes() if a.get_visible()]
+        assert len(axes) == 4
+        # each panel's histogram mass centers on the right entry mean
+        for idx, ax in enumerate(axes):
+            i, j = divmod(idx, 2)
+            centers = np.array([(p.get_x() + p.get_width() / 2)
+                                for p in ax.patches])
+            weights = np.array([p.get_height() for p in ax.patches])
+            mean = (centers * weights).sum() / weights.sum()
+            np.testing.assert_allclose(mean, draws[:, i, j].mean(), atol=0.05)
+        assert axes[1].get_title() == "[r1, c2]"
+
+
+class TestPlotEigenvalueSensitivityContent:
+    def test_spectral_radius_frame_bars(self):
+        df = pd.DataFrame({"d_rho_d_param": [0.3, -0.2, 0.05]},
+                          index=["alpha", "beta", "delta"])
+        ax = plotting.plot_eigenvalue_sensitivity(df)
+        heights = [p.get_height() for p in ax.patches]
+        np.testing.assert_allclose(heights, [0.3, -0.2, 0.05])
+        assert "rho" in ax.get_ylabel() or r"\rho" in ax.get_ylabel()
+
+    def test_real_model_sensitivity_table_renders(self):
+        import geconpy_tpu
+        from geconpy_tpu.stats.perturbation_diagnostics import (
+            eigenvalue_sensitivity)
+
+        m = geconpy_tpu.model_from_gcn(geconpy_tpu.get_example_gcn("rbc"),
+                                       verbose=False)
+        table = eigenvalue_sensitivity(m)
+        ax = plotting.plot_eigenvalue_sensitivity(table, n_eigs=3)
+        assert ax.patches, "no sensitivity bars drawn"
+        assert ax.get_legend() is not None
+
+
+class TestPlotPerfectForesightContent:
+    def test_lines_match_trajectory_and_terminal_marker(self):
+        import collections
+
+        traj = pd.DataFrame(
+            {"K": np.linspace(1.0, 2.0, 30),
+             "C": np.linspace(0.5, 0.8, 30)})
+        Result = collections.namedtuple("Result", "trajectory")
+        fig = plotting.plot_perfect_foresight(Result(traj))
+        axes = [a for a in fig.get_axes() if a.get_visible()]
+        assert [a.get_title() for a in axes] == ["K", "C"]
+        for ax, col in zip(axes, ["K", "C"]):
+            main = [ln for ln in ax.lines if len(ln.get_ydata()) == 30][0]
+            np.testing.assert_allclose(main.get_ydata(), traj[col].to_numpy())
+            # dotted terminal-steady-state guide at the last value
+            guides = [ln for ln in ax.lines
+                      if len(set(np.atleast_1d(ln.get_ydata()))) == 1]
+            assert any(np.isclose(g.get_ydata()[0], traj[col].iloc[-1])
+                       for g in guides)
