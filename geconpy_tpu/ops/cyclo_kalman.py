@@ -46,10 +46,17 @@ def detect_mask_period(mask: np.ndarray, max_period: int = 24) -> int | None:
     """Smallest period ``p <= max_period`` such that the (periods, k) bool
     mask is exactly ``mask[t] == pattern[t % p]``.  Returns None if the
     missingness is not periodic (caller should fall back to the sequential
-    masked filter).  Host-side, static: the mask comes from the dataset."""
+    masked filter).  Host-side, static: the mask comes from the dataset.
+
+    A candidate period must complete at least TWO full cycles
+    (``p <= periods // 2``): any mask trivially "repeats" at periods longer
+    than half the sample (the tail never contradicts the pattern), and
+    routing e.g. a dataset with one isolated hole into a p-phase
+    cyclostationary filter would be correct but wildly slower than the
+    sequential masked filter the caller falls back to."""
     mask = np.asarray(mask, dtype=bool)
     periods = mask.shape[0]
-    for p in range(1, min(max_period, periods) + 1):
+    for p in range(1, min(max_period, periods // 2) + 1):
         pattern = mask[:p]
         reps = -(-periods // p)
         tiled = np.tile(pattern, (reps, 1))[:periods]

@@ -305,3 +305,32 @@ def test_cyclic_settle_rejects_nonconvergent_as_neg_inf():
                                      P0=P0_seed).loglik)
         np.testing.assert_allclose(ll, ll_ref, rtol=1e-5,
                                    atol=1e-5 * abs(ll_ref))
+
+
+def test_detect_mask_period_edges():
+    import numpy as np
+
+    from geconpy_tpu.ops.cyclo_kalman import detect_mask_period
+
+    # fully observed -> trivial period 1
+    assert detect_mask_period(np.ones((30, 2), bool)) == 1
+    # 5-periodic pattern with a PARTIAL last cycle still detects p=5
+    pattern = np.ones((5, 2), bool)
+    pattern[1, 0] = False
+    pattern[4, 1] = False
+    mask = np.tile(pattern, (5, 1))[:23]
+    assert detect_mask_period(mask) == 5
+    # the SMALLEST valid period wins: a 3-pattern repeated is not "6"
+    p3 = np.ones((3, 1), bool)
+    p3[2, 0] = False
+    assert detect_mask_period(np.tile(p3, (8, 1))) == 3
+    # aperiodic (one isolated hole) -> None
+    ap = np.ones((30, 1), bool)
+    ap[13, 0] = False
+    assert detect_mask_period(ap) is None
+    # periodic but beyond max_period -> None
+    p30 = np.ones((30, 1), bool)
+    p30[29, 0] = False
+    long = np.tile(p30, (3, 1))
+    assert detect_mask_period(long, max_period=24) is None
+    assert detect_mask_period(long, max_period=30) == 30

@@ -73,3 +73,46 @@ def test_fit_with_checkpointing_resumes(tmp_path):
         num_chains=2, num_warmup=100, num_samples=60, checkpoint_every=25,
         seed=0, max_depth=5)
     np.testing.assert_array_equal(res.samples, res2.samples)
+
+
+def test_crash_mid_write_leaves_previous_checkpoint_loadable(tmp_path):
+    """save_checkpoint is write-temp-then-rename: a crash that dies after
+    creating the temp file (before the rename) must not corrupt the last
+    complete checkpoint."""
+    import numpy as np
+
+    from geconpy_tpu.stats.checkpoint import (SamplerCheckpoint,
+                                              load_checkpoint,
+                                              save_checkpoint)
+
+    ckpt = SamplerCheckpoint(
+        positions=np.ones((2, 3)), step_size=np.full(2, 0.1),
+        inv_mass=np.ones((2, 3)), rng_key=np.zeros((2, 2), np.uint32),
+        n_completed=7, param_names=["a", "b", "c"],
+        samples=np.zeros((2, 7, 3)))
+    save_checkpoint(tmp_path, ckpt)
+
+    # simulated crash: a half-written temp file from a dead process
+    (tmp_path / "arrays.npz.tmp").write_bytes(b"\x00garbage")
+
+    loaded = load_checkpoint(tmp_path)
+    assert loaded.n_completed == 7
+    np.testing.assert_array_equal(loaded.positions, ckpt.positions)
+    assert loaded.param_names == ["a", "b", "c"]
+
+
+def test_checkpoint_roundtrip_without_samples(tmp_path):
+    import numpy as np
+
+    from geconpy_tpu.stats.checkpoint import (SamplerCheckpoint,
+                                              load_checkpoint,
+                                              save_checkpoint)
+
+    ckpt = SamplerCheckpoint(
+        positions=np.ones((1, 2)), step_size=np.full(1, 0.2),
+        inv_mass=np.ones((1, 2)), rng_key=np.zeros((1, 2), np.uint32),
+        n_completed=0, param_names=["x", "y"], samples=None)
+    save_checkpoint(tmp_path, ckpt)
+    loaded = load_checkpoint(tmp_path)
+    assert loaded.samples is None
+    assert loaded.rng_key.dtype == np.uint32
